@@ -1,0 +1,168 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from triangulation_in_deformable_scenes_tpu.models import deformable
+from triangulation_in_deformable_scenes_tpu.ops import camera, lie
+
+CAM = np.array([458.654, 457.296, 367.215, 248.375, 0, 0, 0, 0], dtype=np.float64)
+
+
+def make_problem(n_side=5, seed=0, point_noise=2e-3, scale_noise=0.1):
+    """Two-view deforming-surface problem with known ground truth."""
+    rng = np.random.default_rng(seed)
+    xs, ys = np.meshgrid(np.linspace(-0.05, 0.05, n_side), np.linspace(-0.04, 0.04, n_side))
+    p1_gt = np.stack([xs.ravel(), ys.ravel(), 0.2 + 0.004 * np.sin(xs.ravel() * 50)], axis=-1)
+    # small non-rigid deformation
+    p2_gt = p1_gt + 0.004 * np.stack(
+        [np.sin(p1_gt[:, 1] * 30), np.cos(p1_gt[:, 0] * 25), np.sin(p1_gt[:, 0] * 40)], axis=-1
+    )
+    n = len(p1_gt)
+
+    c1 = np.array([-0.10, 0.02, 0.0])
+    c2 = np.array([0.12, 0.01, 0.0])
+    T1w = (jnp.asarray(np.asarray(lie.look_at(jnp.asarray(c1), jnp.asarray(p1_gt.mean(0))))), jnp.asarray(c1))
+    T2w = (jnp.asarray(np.asarray(lie.look_at(jnp.asarray(c2), jnp.asarray(p2_gt.mean(0))))), jnp.asarray(c2))
+
+    kp1 = camera.kb8_project(jnp.asarray(CAM), lie.apply(*T1w, jnp.asarray(p1_gt)))
+    kp2 = camera.kb8_project(jnp.asarray(CAM), lie.apply(*T2w, jnp.asarray(p2_gt)))
+
+    s1_true, s2_true = 0.4, 1.7
+    d1 = np.asarray(lie.apply(*T1w, jnp.asarray(p1_gt)))[:, 2] * s1_true
+    d2 = np.asarray(lie.apply(*T2w, jnp.asarray(p2_gt)))[:, 2] * s2_true
+
+    # noisy initialization
+    p1_0 = p1_gt + rng.normal(scale=point_noise, size=p1_gt.shape)
+    p2_0 = p2_gt + rng.normal(scale=point_noise, size=p2_gt.shape)
+    s1_0 = s1_true * (1 + scale_noise)
+    s2_0 = s2_true * (1 - scale_noise)
+
+    data = deformable.make_pair_data(
+        kp1=np.asarray(kp1),
+        kp2=np.asarray(kp2),
+        depth1=d1,
+        depth2=d2,
+        valid=np.ones(n, dtype=bool),
+        cam_params=CAM,
+        T1w=T1w,
+        T2w=T2w,
+        p1=p1_0,
+        p2=p2_0,
+    )
+    state0 = deformable.PairState(
+        p1=jnp.asarray(p1_0),
+        p2=jnp.asarray(p2_0),
+        s1=jnp.asarray(s1_0),
+        s2=jnp.asarray(s2_0),
+        Rg=jnp.eye(3),
+        tg=jnp.zeros(3),
+    )
+    # NOTE: the ARAP information is arap_w * ntri^2 and the energies are
+    # area-normalized, so the useful arap_w range depends strongly on scene
+    # scale -- this is exactly why the reference wraps the inner solve in an
+    # outer weight search (nlopt bounds span 1e-5..1e7). Here we pick a value
+    # where reprojection dominates so convergence to GT is testable.
+    hyper = deformable.Hyper(
+        rep_w=jnp.asarray(1.0),
+        arap_w=jnp.asarray(1e-4),
+        depth_sigma=jnp.asarray(0.003),
+        global_w=jnp.asarray(50.0),
+    )
+    return data, state0, hyper, (p1_gt, p2_gt, s1_true, s2_true)
+
+
+def _rep_rmse(data, state, which):
+    if which == 1:
+        e = np.asarray(
+            deformable._rep_errors("KB8", data, state.p1, data.R1w, data.t1w, data.kp1)
+        )
+    else:
+        e = np.asarray(
+            deformable._rep_errors("KB8", data, state.p2, data.R2w, data.t2w, data.kp2)
+        )
+    return float(np.sqrt((e**2).mean()))
+
+
+def test_solver_reduces_cost_and_reprojection():
+    data, state0, hyper, _ = make_problem()
+    res = deformable.solve_pair("KB8", data, hyper, state0, n_iterations=25)
+    assert float(res.cost) < float(res.initial_cost) * 0.1
+    assert int(res.n_accepted) >= 5
+    assert _rep_rmse(data, res.state, 1) < _rep_rmse(data, state0, 1) * 0.2
+    assert _rep_rmse(data, res.state, 2) < _rep_rmse(data, state0, 2) * 0.2
+
+
+def test_solver_moves_points_toward_ground_truth():
+    data, state0, hyper, (p1_gt, p2_gt, s1_t, s2_t) = make_problem()
+    res = deformable.solve_pair("KB8", data, hyper, state0, n_iterations=25)
+    err0 = np.linalg.norm(np.asarray(state0.p1) - p1_gt, axis=-1).mean()
+    err1 = np.linalg.norm(np.asarray(res.state.p1) - p1_gt, axis=-1).mean()
+    assert err1 < err0
+
+
+def test_solver_reaches_depth_consistency():
+    """The optimizable depth scales must become consistent with the realized
+    camera-frame depths: d / s ~= z. (Absolute recovery of the corruption
+    scale is a gauge direction: a dual point's depth along its own camera ray
+    trades off against the scale, broken only by the ARAP/global coupling --
+    the reason the reference optimizes scales jointly rather than fixing
+    them, KeyFrame.cc:131-153 + g2oTypes.h:390-421.)"""
+    data, state0, hyper, (_, _, s1_t, s2_t) = make_problem(scale_noise=0.15)
+    res = deformable.solve_pair("KB8", data, hyper, state0, n_iterations=25)
+
+    def consistency(p, s, R, t, d):
+        z = np.asarray(lie.apply(R, t, p))[:, 2]
+        return np.abs(np.asarray(d) / float(s) - z).mean()
+
+    c1_0 = consistency(state0.p1, state0.s1, data.R1w, data.t1w, data.depth1)
+    c1_1 = consistency(res.state.p1, res.state.s1, data.R1w, data.t1w, data.depth1)
+    c2_0 = consistency(state0.p2, state0.s2, data.R2w, data.t2w, data.depth2)
+    c2_1 = consistency(res.state.p2, res.state.s2, data.R2w, data.t2w, data.depth2)
+    assert c1_1 < c1_0 * 0.35
+    assert c2_1 < c2_0 * 0.35
+
+
+def test_ground_truth_is_near_fixed_point():
+    """Starting AT ground truth with exact observations, the solver must not
+    wander: reprojection stays ~0 and points move very little."""
+    data, _, hyper, (p1_gt, p2_gt, s1_t, s2_t) = make_problem(point_noise=0.0, scale_noise=0.0)
+    state_gt = deformable.PairState(
+        p1=jnp.asarray(p1_gt),
+        p2=jnp.asarray(p2_gt),
+        s1=jnp.asarray(s1_t),
+        s2=jnp.asarray(s2_t),
+        Rg=jnp.eye(3),
+        tg=jnp.zeros(3),
+    )
+    res = deformable.solve_pair("KB8", data, hyper, state_gt, n_iterations=10)
+    move = np.linalg.norm(np.asarray(res.state.p1) - p1_gt, axis=-1).mean()
+    assert move < 5e-4
+    assert _rep_rmse(data, res.state, 1) < 0.5  # pixels
+
+
+def test_invalid_points_do_not_move():
+    data, state0, hyper, _ = make_problem()
+    valid = np.ones(data.kp1.shape[0], dtype=bool)
+    valid[::7] = False
+    data2 = data._replace(valid=jnp.asarray(valid))
+    res = deformable.solve_pair("KB8", data2, hyper, state0, n_iterations=5)
+    moved = np.linalg.norm(np.asarray(res.state.p1) - np.asarray(state0.p1), axis=-1)
+    # Invalid entries have zero residuals everywhere -> zero update.
+    np.testing.assert_allclose(moved[~valid], 0.0, atol=1e-12)
+    assert moved[valid].max() > 0
+
+
+def test_huber_downweights_outliers():
+    """A gross outlier observation must not drag its point as far as a
+    quadratic loss would (Huber delta = sqrt(100.991))."""
+    data, state0, hyper, (p1_gt, *_rest) = make_problem(point_noise=0.0, scale_noise=0.0)
+    kp1 = np.asarray(data.kp1).copy()
+    kp1[0] += 200.0  # 200px outlier
+    data_out = data._replace(kp1=jnp.asarray(kp1))
+    res = deformable.solve_pair("KB8", data_out, hyper, state0, n_iterations=15)
+    # The point was pulled, but the Huber kernel bounds the pull: reprojection
+    # error at the outlier stays large (the optimizer does not chase it fully).
+    e = np.asarray(
+        deformable._rep_errors("KB8", data_out, res.state.p1, data.R1w, data.t1w, data_out.kp1)
+    )
+    assert np.linalg.norm(e[0]) > 50.0

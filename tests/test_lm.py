@@ -1,0 +1,67 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from triangulation_in_deformable_scenes_tpu.ops import lm
+
+
+def test_lm_solves_linear_least_squares():
+    """On a linear problem LM must land on the normal-equation solution."""
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.normal(size=(30, 8)))
+    b = jnp.asarray(rng.normal(size=30))
+    x_star = np.linalg.lstsq(np.asarray(A), np.asarray(b), rcond=None)[0]
+
+    def build_system(x):
+        r = A @ x - b
+        return A.T @ A, A.T @ r
+
+    def cost(x):
+        r = A @ x - b
+        return r @ r
+
+    res = lm.lm_optimize(build_system, cost, lambda x, d: x + d, jnp.zeros(8), n_iterations=10)
+    np.testing.assert_allclose(np.asarray(res.state), x_star, atol=1e-8)
+    assert float(res.cost) <= float(res.initial_cost)
+    assert int(res.n_accepted) >= 1
+
+
+def test_lm_rosenbrock_descends():
+    """Non-convex smoke test: cost strictly decreases and stays finite."""
+
+    def residuals(x):
+        return jnp.array([10.0 * (x[1] - x[0] ** 2), 1.0 - x[0]])
+
+    J = jax.jacfwd(residuals)
+
+    def build_system(x):
+        r = residuals(x)
+        Jx = J(x)
+        return Jx.T @ Jx, Jx.T @ r
+
+    def cost(x):
+        r = residuals(x)
+        return r @ r
+
+    x0 = jnp.array([-1.2, 1.0])
+    res = lm.lm_optimize(build_system, cost, lambda x, d: x + d, x0, n_iterations=50)
+    assert float(res.cost) < 1e-10  # converges to (1, 1)
+    np.testing.assert_allclose(np.asarray(res.state), [1.0, 1.0], atol=1e-5)
+
+
+def test_lm_jit_compatible():
+    A = jnp.asarray(np.random.default_rng(1).normal(size=(10, 3)))
+    b = jnp.asarray(np.random.default_rng(2).normal(size=10))
+
+    @jax.jit
+    def solve():
+        return lm.lm_optimize(
+            lambda x: (A.T @ A, A.T @ (A @ x - b)),
+            lambda x: jnp.sum((A @ x - b) ** 2),
+            lambda x, d: x + d,
+            jnp.zeros(3),
+            n_iterations=5,
+        )
+
+    res = solve()
+    assert np.isfinite(float(res.cost))

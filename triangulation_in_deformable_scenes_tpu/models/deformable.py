@@ -1,0 +1,404 @@
+"""Deformation-regularized dual-point refinement: the framework's heart.
+
+Replaces the reference's g2o problem ``arapOptimization``
+(``Modules/Optimization/g2oBundleAdjustment.cc:608-1008``) with a fixed-shape
+batched nonlinear least squares over one keyframe pair:
+
+state  theta = (p1[N,3], p2[N,3], s1, s2, T_global in SE3)
+edges  per match i (``g2oBundleAdjustment.cc:762-868``):
+         2 reprojection edges, Huber delta = sqrt(100.991), info =
+           invSigma2 * rep_weight   (``EdgeSE3ProjectXYZPerKeyFrameOnlyPoints``)
+         2 depth edges, residual (d/s - z_cam)^2 (x500 when s <= 0), info =
+           1/depth_sigma^2          (``EdgeDepthCorrection``, g2oTypes.h:390-421)
+       per directed mesh edge (i, j) (``g2oBundleAdjustment.cc:883-953``):
+         1 ARAP edge whose scalar energy couples both point sets and the
+           global SE3, info = arap_weight * n_triangles^2 (``EdgeARAP``,
+           g2oTypes.h:300-349)
+
+The mesh (Delaunay adjacency, cot weights) and the per-vertex ARAP rotations
+R_i are computed once per solve from the current positions and FROZEN during
+the LM iterations, exactly like the reference (mesh at
+``g2oBundleAdjustment.cc:652-688``; note ``globalBalanceWeight`` is accepted
+but unused by the inner solve there -- the global term lives inside EdgeARAP
+with the ARAP information; we keep that behavior and signature).
+
+TPU design notes: the normal equations are assembled directly from per-edge
+local Jacobian blocks (forward-mode AD, vmapped over edges) scattered into a
+dense H -- never by materializing the big J. All shapes are static in
+(N, K); the LM loop is a ``lax.scan`` (see ``ops/lm.py``). One jit
+compilation serves every weight candidate the outer search tries.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import arap as arap_ops
+from ..ops import camera as cam_ops
+from ..ops import lie
+from ..ops import lm as lm_ops
+from ..ops import mesh as mesh_ops
+
+HUBER_DELTA = float(np.sqrt(100.991))  # deltaMono, g2oBundleAdjustment.cc:631
+
+
+class PairData(NamedTuple):
+    """Fixed observations for one keyframe pair (padded to N)."""
+
+    kp1: jnp.ndarray  # [N, 2] observed pixels in KF1
+    kp2: jnp.ndarray  # [N, 2]
+    inv_sigma2_1: jnp.ndarray  # [N] pyramid information (1.0 at octave 0)
+    inv_sigma2_2: jnp.ndarray  # [N]
+    depth1: jnp.ndarray  # [N] depth measurements (sensor scale)
+    depth2: jnp.ndarray  # [N]
+    valid: jnp.ndarray  # [N] bool
+    cam_params: jnp.ndarray  # [8] KB8 params (or first 4 for pinhole)
+    R1w: jnp.ndarray
+    t1w: jnp.ndarray
+    R2w: jnp.ndarray
+    t2w: jnp.ndarray
+    nbr: jnp.ndarray  # [N, K] mesh adjacency, -1 padded
+    nbr_mask: jnp.ndarray  # [N, K]
+    wcot: jnp.ndarray  # [N, K]
+    Ri: jnp.ndarray  # [N, 3, 3] frozen ARAP rotations
+    area: jnp.ndarray  # scalar mesh surface area
+    ntri: jnp.ndarray  # scalar triangle count
+
+
+class PairState(NamedTuple):
+    p1: jnp.ndarray  # [N, 3]
+    p2: jnp.ndarray
+    s1: jnp.ndarray  # scalar depth scale KF1
+    s2: jnp.ndarray
+    Rg: jnp.ndarray  # [3, 3] global alignment rotation
+    tg: jnp.ndarray  # [3]
+
+
+class Hyper(NamedTuple):
+    rep_w: jnp.ndarray
+    arap_w: jnp.ndarray
+    depth_sigma: jnp.ndarray
+    # Kept for signature parity with the reference inner solve, where the
+    # global weight is accepted but unused (g2oBundleAdjustment.cc:608,699).
+    global_w: jnp.ndarray
+
+
+def _tangent_dim(n: int) -> int:
+    return 6 * n + 8
+
+
+def apply_delta(state: PairState, delta: jnp.ndarray) -> PairState:
+    n = state.p1.shape[0]
+    dp1 = delta[: 3 * n].reshape(n, 3)
+    dp2 = delta[3 * n : 6 * n].reshape(n, 3)
+    ds1 = delta[6 * n]
+    ds2 = delta[6 * n + 1]
+    dxi = delta[6 * n + 2 : 6 * n + 8]
+    dR, dt = lie.se3_exp(dxi)
+    Rg, tg = lie.compose(dR, dt, state.Rg, state.tg)
+    return PairState(
+        p1=state.p1 + dp1,
+        p2=state.p2 + dp2,
+        s1=state.s1 + ds1,
+        s2=state.s2 + ds2,
+        Rg=Rg,
+        tg=tg,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edge residuals (weighted so that sum(r^2) equals g2o's chi2)
+# ---------------------------------------------------------------------------
+
+
+def _rep_errors(cam_kind, data: PairData, p, R, t, kp):
+    """Unweighted reprojection error e = obs - proj(T p) per point, [N, 2]."""
+    pc = lie.apply(R, t, p)
+    proj = cam_ops.project(cam_kind, data.cam_params, pc)
+    return kp - proj
+
+
+def _depth_errors(data: PairData, p, s, R, t, d):
+    """EdgeDepthCorrection error: (d/s - z_cam)^2, x500 when s <= 0; [N]."""
+    z = lie.apply(R, t, p)[..., 2]
+    e = (d / s - z) ** 2
+    return jnp.where(s <= 0.0, 500.0 * e, e)
+
+
+def _arap_energies(data: PairData, state: PairState):
+    """EdgeARAP energies per directed mesh edge, [N, K] (masked)."""
+    return arap_ops.arap_edge_energy(
+        state.p1,
+        state.p2,
+        data.Ri,
+        data.nbr,
+        data.nbr_mask,
+        data.wcot,
+        data.area,
+        state.Rg,
+        state.tg,
+    )
+
+
+def _huber_rho(chi2, delta=HUBER_DELTA):
+    """g2o RobustKernelHuber: rho(s) and rho'(s) on the chi2 scale."""
+    d2 = delta * delta
+    sqrt_c = jnp.sqrt(jnp.maximum(chi2, 1e-300))
+    rho = jnp.where(chi2 <= d2, chi2, 2.0 * delta * sqrt_c - d2)
+    drho = jnp.where(chi2 <= d2, 1.0, delta / sqrt_c)
+    return rho, drho
+
+
+def robust_cost(cam_kind: str, data: PairData, hyper: Hyper, state: PairState):
+    """Total robustified chi2 (the quantity g2o's LM accept/reject uses)."""
+    vm = data.valid.astype(state.p1.dtype)
+
+    omega1 = data.inv_sigma2_1 * hyper.rep_w
+    omega2 = data.inv_sigma2_2 * hyper.rep_w
+    e1 = _rep_errors(cam_kind, data, state.p1, data.R1w, data.t1w, data.kp1)
+    e2 = _rep_errors(cam_kind, data, state.p2, data.R2w, data.t2w, data.kp2)
+    chi2_1 = jnp.sum(e1 * e1, axis=-1) * omega1
+    chi2_2 = jnp.sum(e2 * e2, axis=-1) * omega2
+    rho1, _ = _huber_rho(chi2_1)
+    rho2, _ = _huber_rho(chi2_2)
+    cost_rep = jnp.sum(vm * (rho1 + rho2))
+
+    info_d = 1.0 / (hyper.depth_sigma * hyper.depth_sigma)
+    ed1 = _depth_errors(data, state.p1, state.s1, data.R1w, data.t1w, data.depth1)
+    ed2 = _depth_errors(data, state.p2, state.s2, data.R2w, data.t2w, data.depth2)
+    cost_depth = jnp.sum(vm * info_d * (ed1 * ed1 + ed2 * ed2))
+
+    info_a = hyper.arap_w * data.ntri * data.ntri
+    E = _arap_energies(data, state)
+    cost_arap = jnp.sum(info_a * E * E)
+
+    return cost_rep + cost_depth + cost_arap
+
+
+# ---------------------------------------------------------------------------
+# Normal-equation assembly from per-edge local Jacobians
+# ---------------------------------------------------------------------------
+
+
+def _scatter_system(H, g, L, r, idx):
+    """Accumulate L^T L and L^T r of a batch of edges into (H, g).
+
+    L: [M, rdim, d] local Jacobians; r: [M, rdim]; idx: [M, d] tangent
+    indices. Padded/invalid edges must have L == 0 and r == 0.
+    """
+    Hblk = jnp.einsum("mri,mrj->mij", L, L)
+    gblk = jnp.einsum("mri,mr->mi", L, r)
+    H = H.at[idx[:, :, None], idx[:, None, :]].add(Hblk)
+    g = g.at[idx].add(gblk)
+    return H, g
+
+
+def build_system(cam_kind: str, data: PairData, hyper: Hyper, state: PairState):
+    """Gauss-Newton H, g at ``state`` with robust weights frozen there."""
+    n = state.p1.shape[0]
+    dim = _tangent_dim(n)
+    dtype = state.p1.dtype
+    H = jnp.zeros((dim, dim), dtype=dtype)
+    g = jnp.zeros((dim,), dtype=dtype)
+
+    vm = data.valid.astype(dtype)
+    idx_p1 = 3 * jnp.arange(n)[:, None] + jnp.arange(3)[None, :]
+    idx_p2 = 3 * n + idx_p1
+    i_s1 = 6 * n
+    i_s2 = 6 * n + 1
+    idx_xi = 6 * n + 2 + jnp.arange(6)
+
+    # --- reprojection edges (Huber-reweighted at linearization point) ---
+    def rep_weights(e, inv_sigma2):
+        chi2 = jnp.sum(e * e, axis=-1) * inv_sigma2 * hyper.rep_w
+        _, drho = _huber_rho(chi2)
+        return jnp.sqrt(drho * inv_sigma2 * hyper.rep_w) * vm
+
+    for (p, R, t, kp, inv_s2, idx_p) in (
+        (state.p1, data.R1w, data.t1w, data.kp1, data.inv_sigma2_1, idx_p1),
+        (state.p2, data.R2w, data.t2w, data.kp2, data.inv_sigma2_2, idx_p2),
+    ):
+        e = kp - cam_ops.project(cam_kind, data.cam_params, lie.apply(R, t, p))
+        w = rep_weights(e, inv_s2)  # [N]
+
+        def rep_local(pi, obs, wi):
+            return wi * (obs - cam_ops.project(cam_kind, data.cam_params, R @ pi + t))
+
+        L = jax.vmap(jax.jacfwd(rep_local), in_axes=(0, 0, 0))(p, kp, w)  # [N,2,3]
+        r = jax.vmap(rep_local)(p, kp, w)
+        H, g = _scatter_system(H, g, L, r, idx_p)
+
+    # --- depth edges ---
+    inv_sigma_d = 1.0 / hyper.depth_sigma
+    for (p, s, R, t, d, idx_p, i_s) in (
+        (state.p1, state.s1, data.R1w, data.t1w, data.depth1, idx_p1, i_s1),
+        (state.p2, state.s2, data.R2w, data.t2w, data.depth2, idx_p2, i_s2),
+    ):
+
+        def depth_local(x, di, wi):
+            pi, si = x[:3], x[3]
+            z = (R @ pi + t)[2]
+            e = (di / si - z) ** 2
+            e = jnp.where(si <= 0.0, 500.0 * e, e)
+            return (wi * e)[None]
+
+        x = jnp.concatenate([p, jnp.full((n, 1), s, dtype=dtype)], axis=-1)
+        w = vm * inv_sigma_d
+        L = jax.vmap(jax.jacfwd(depth_local), in_axes=(0, 0, 0))(x, d, w)  # [N,1,4]
+        r = jax.vmap(depth_local)(x, d, w)
+        idx = jnp.concatenate([idx_p, jnp.full((n, 1), i_s, dtype=idx_p.dtype)], axis=-1)
+        H, g = _scatter_system(H, g, L, r, idx)
+
+    # --- ARAP edges (flattened [N*K]) ---
+    K = data.nbr.shape[1]
+    j_safe = jnp.maximum(data.nbr, 0)  # [N, K]
+    i_ids = jnp.broadcast_to(jnp.arange(n)[:, None], (n, K))
+    sqrt_info_a = jnp.sqrt(hyper.arap_w) * data.ntri
+    w_edge = (data.nbr_mask & data.valid[:, None] & data.valid[j_safe]).astype(
+        dtype
+    ) * sqrt_info_a  # [N, K]
+
+    Rg0, tg0 = state.Rg, state.tg
+
+    def arap_local(x, Ri, Rj, wcot, we):
+        p1i, p2i, p1j, p2j = x[0:3], x[3:6], x[6:9], x[9:12]
+        xi = x[12:18]
+        dR, dt = lie.se3_exp(xi)
+        Rg, tg = lie.compose(dR, dt, Rg0, tg0)
+        d1 = p1i - p1j
+        d2 = p2i - p2j
+        first = (d2 - Ri @ d1) / data.area
+        second = (-d2 - Rj @ (-d1)) / data.area
+        gterm = (Rg @ p2i - tg - p1i) + (Rg @ p2j - tg - p1j)
+        energy = wcot * (first @ first + second @ second) + gterm @ gterm
+        return (we * energy)[None]
+
+    x_edges = jnp.concatenate(
+        [
+            state.p1[i_ids.reshape(-1)],
+            state.p2[i_ids.reshape(-1)],
+            state.p1[j_safe.reshape(-1)],
+            state.p2[j_safe.reshape(-1)],
+            jnp.zeros((n * K, 6), dtype=dtype),
+        ],
+        axis=-1,
+    )  # [N*K, 18]
+    Ri_e = data.Ri[i_ids.reshape(-1)]
+    Rj_e = data.Ri[j_safe.reshape(-1)]
+    L = jax.vmap(jax.jacfwd(arap_local), in_axes=(0, 0, 0, 0, 0))(
+        x_edges, Ri_e, Rj_e, data.wcot.reshape(-1), w_edge.reshape(-1)
+    )  # [NK, 1, 18]
+    r = jax.vmap(arap_local)(x_edges, Ri_e, Rj_e, data.wcot.reshape(-1), w_edge.reshape(-1))
+    idx = jnp.concatenate(
+        [
+            idx_p1[i_ids.reshape(-1)],
+            idx_p2[i_ids.reshape(-1)],
+            idx_p1[j_safe.reshape(-1)],
+            idx_p2[j_safe.reshape(-1)],
+            jnp.broadcast_to(idx_xi, (n * K, 6)),
+        ],
+        axis=-1,
+    )  # [NK, 18]
+    H, g = _scatter_system(H, g, L, r, idx)
+
+    return H, g
+
+
+# ---------------------------------------------------------------------------
+# Solve driver
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cam_kind", "n_iterations"))
+def solve_pair(
+    cam_kind: str,
+    data: PairData,
+    hyper: Hyper,
+    state0: PairState,
+    n_iterations: int,
+) -> lm_ops.LMResult:
+    """One ``arapOptimization`` inner solve: n_iterations of LM."""
+    return lm_ops.lm_optimize(
+        build_system=lambda s: build_system(cam_kind, data, hyper, s),
+        robust_cost=lambda s: robust_cost(cam_kind, data, hyper, s),
+        apply_delta=apply_delta,
+        state0=state0,
+        n_iterations=n_iterations,
+    )
+
+
+def make_pair_data(
+    kp1,
+    kp2,
+    depth1,
+    depth2,
+    valid,
+    cam_params,
+    T1w,
+    T2w,
+    p1,
+    p2,
+    inv_sigma2_1=None,
+    inv_sigma2_2=None,
+    mesh_backend: str = "auto",
+    degree_bucket: int = 16,
+):
+    """Host-side assembly: mesh the CURRENT p1 cloud, freeze ARAP rotations.
+
+    Mirrors the per-solve preamble of ``arapOptimization``
+    (``g2oBundleAdjustment.cc:652-688``): Delaunay over keyframe-1 positions,
+    cot weights, per-vertex rotations from the current two clouds.
+    """
+    n = len(kp1)
+    valid_np = np.asarray(valid, dtype=bool)
+    p1_np = np.asarray(p1, dtype=np.float64)
+    p2_np = np.asarray(p2, dtype=np.float64)
+
+    # Mesh over valid points only (invalid pairs never enter the reference's
+    # map); indices are remapped back to the full padded arrays.
+    # K is bucketed so the jitted solver compiles once per bucket, not once
+    # per outer round (the mesh max-degree jitters as points move).
+    vidx = np.nonzero(valid_np)[0]
+    ctx = mesh_ops.build_mesh_context(
+        p1_np[vidx], backend=mesh_backend, degree_multiple=degree_bucket
+    )
+    K = ctx.max_degree
+    nbr = np.full((n, K), -1, dtype=np.int32)
+    wcot = np.zeros((n, K), dtype=np.float64)
+    remap = vidx.astype(np.int32)
+    nbr_valid = np.where(ctx.nbr >= 0, remap[np.maximum(ctx.nbr, 0)], -1)
+    nbr[vidx] = nbr_valid
+    wcot[vidx] = ctx.weights
+
+    nbr_j = jnp.asarray(nbr)
+    mask = jnp.asarray(nbr >= 0)
+    R = arap_ops.compute_rotations(
+        jnp.asarray(p1_np), jnp.asarray(p2_np), nbr_j, mask, jnp.asarray(wcot)
+    )
+
+    ones = np.ones(n)
+    return PairData(
+        kp1=jnp.asarray(kp1, dtype=jnp.float64),
+        kp2=jnp.asarray(kp2, dtype=jnp.float64),
+        inv_sigma2_1=jnp.asarray(ones if inv_sigma2_1 is None else inv_sigma2_1),
+        inv_sigma2_2=jnp.asarray(ones if inv_sigma2_2 is None else inv_sigma2_2),
+        depth1=jnp.asarray(depth1, dtype=jnp.float64),
+        depth2=jnp.asarray(depth2, dtype=jnp.float64),
+        valid=jnp.asarray(valid_np),
+        cam_params=jnp.asarray(cam_params, dtype=jnp.float64),
+        R1w=jnp.asarray(T1w[0], dtype=jnp.float64),
+        t1w=jnp.asarray(T1w[1], dtype=jnp.float64),
+        R2w=jnp.asarray(T2w[0], dtype=jnp.float64),
+        t2w=jnp.asarray(T2w[1], dtype=jnp.float64),
+        nbr=nbr_j,
+        nbr_mask=mask,
+        wcot=jnp.asarray(wcot),
+        Ri=R,
+        area=jnp.asarray(ctx.surface_area, dtype=jnp.float64),
+        ntri=jnp.asarray(float(ctx.n_triangles), dtype=jnp.float64),
+    )

@@ -1,0 +1,120 @@
+"""Batched Levenberg-Marquardt with g2o-parity damping semantics.
+
+Replaces the reference's ``g2o::OptimizationAlgorithmLevenberg`` +
+``BlockSolverX`` + ``LinearSolverEigen`` stack
+(``Modules/Optimization/g2oBundleAdjustment.cc:618-630``) with a fixed-shape,
+jittable solver:
+
+- damping: lambda0 = tau * max(diag(H)) with tau = 1e-5 (g2o default),
+  accept => lambda *= max(1/3, 1 - (2 rho - 1)^3), nu = 2,
+  reject => lambda *= nu, nu *= 2, up to ``max_trials`` retries per iteration
+  (g2o's ``maxTrialsAfterFailure``); an iteration whose trials all fail ends
+  the optimization, like g2o's LM loop.
+- gain ratio rho = (F0 - F1) / (delta . (lambda delta - g)).
+- the normal equations are solved densely in f64 (Cholesky); the
+  distributed/CG path for large problems lives in ``parallel/``.
+
+The caller provides three pure functions over an opaque state pytree, so this
+file knows nothing about cameras or ARAP:
+
+- build_system(state) -> (H, g): the Gauss-Newton normal equations at
+  ``state`` with robust weights frozen at the linearization point (g2o
+  robustifies the information matrix with rho'(chi2) the same way);
+- robust_cost(state) -> scalar: the full robustified chi2 (for accept/reject);
+- apply_delta(state, delta) -> state: the retraction.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LMResult(NamedTuple):
+    state: object
+    cost: jnp.ndarray
+    initial_cost: jnp.ndarray
+    lam: jnp.ndarray
+    n_accepted: jnp.ndarray
+
+
+def lm_optimize(
+    build_system: Callable,
+    robust_cost: Callable,
+    apply_delta: Callable,
+    state0,
+    n_iterations: int,
+    tau: float = 1e-5,
+    max_trials: int = 10,
+) -> LMResult:
+    """Run ``n_iterations`` LM iterations (jit-friendly, fixed trip counts)."""
+
+    F0_init = robust_cost(state0)
+
+    def solve_damped(H, g, lam):
+        A = H + lam * jnp.eye(H.shape[0], dtype=H.dtype)
+        L, low = jax.scipy.linalg.cho_factor(A, lower=True)
+        return jax.scipy.linalg.cho_solve((L, low), -g)
+
+    def iteration(carry, _):
+        state, lam, nu, F, stop = carry
+
+        def run(operand):
+            state, lam, nu, F = operand
+            H, g = build_system(state)
+            lam0 = jnp.where(lam < 0, tau * jnp.max(jnp.diag(H)), lam)
+
+            def trial_cond(tc):
+                _, _, k, accepted, *_ = tc
+                return jnp.logical_and(jnp.logical_not(accepted), k < max_trials)
+
+            def trial_body(tc):
+                lam, nu, k, _, cur_state, curF = tc
+                delta = solve_damped(H, g, lam)
+                cand = apply_delta(state, delta)
+                F1 = robust_cost(cand)
+                scale = jnp.dot(delta, lam * delta - g) + 1e-300
+                rho = (F - F1) / scale
+                ok = jnp.logical_and(rho > 0, jnp.isfinite(F1))
+                factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+                lam_next = jnp.where(ok, lam * factor, lam * nu)
+                nu_next = jnp.where(ok, 2.0, 2.0 * nu)
+                new_state = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(ok, b, a), cur_state, cand
+                )
+                newF = jnp.where(ok, F1, curF)
+                return (lam_next, nu_next, k + 1, ok, new_state, newF)
+
+            lam1, nu1, _, accepted, state1, F1 = jax.lax.while_loop(
+                trial_cond, trial_body, (lam0, nu, jnp.int32(0), jnp.bool_(False), state, F)
+            )
+            # g2o ends the optimization when an iteration cannot find any
+            # accepted step.
+            return state1, lam1, nu1, F1, jnp.logical_not(accepted), accepted
+
+        def skip(operand):
+            state, lam, nu, F = operand
+            return state, lam, nu, F, jnp.bool_(True), jnp.bool_(False)
+
+        state1, lam1, nu1, F1, stop1, accepted = jax.lax.cond(
+            stop, skip, run, (state, lam, nu, F)
+        )
+        return (state1, lam1, nu1, F1, jnp.logical_or(stop, stop1)), accepted
+
+    init = (
+        state0,
+        jnp.array(-1.0, dtype=jnp.float64),
+        jnp.array(2.0, dtype=jnp.float64),
+        F0_init,
+        jnp.bool_(False),
+    )
+    (state, lam, _, F, _), accepted = jax.lax.scan(iteration, init, None, length=n_iterations)
+    return LMResult(
+        state=state,
+        cost=F,
+        initial_cost=F0_init,
+        lam=lam,
+        n_accepted=jnp.sum(accepted.astype(jnp.int32)),
+    )
