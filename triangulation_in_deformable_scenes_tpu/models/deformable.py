@@ -180,6 +180,42 @@ def robust_cost(cam_kind: str, data: PairData, hyper: Hyper, state: PairState):
     return cost_rep + cost_depth + cost_arap
 
 
+def residual_vector(cam_kind: str, data: PairData, hyper: Hyper, state: PairState):
+    """Weighted residual vector r with sum(r^2) == robust chi2 (Huber via
+    IRLS weights evaluated at ``state``). Layout: [rep1 (N*2), rep2 (N*2),
+    depth1 (N), depth2 (N), arap (N*K)].
+
+    Used by the matrix-free (CG) solve path: J v and J^T u come from
+    jvp/vjp of this function composed with ``apply_delta``, which is how the
+    landmark-sharded multi-chip solver avoids materializing H.
+    """
+    vm = data.valid.astype(state.p1.dtype)
+
+    def rep_block(p, R, t, kp, inv_s2):
+        e = kp - cam_ops.project(cam_kind, data.cam_params, lie.apply(R, t, p))
+        # Huber IRLS weight frozen at the linearization point (stop_gradient
+        # keeps jvp/vjp from differentiating through rho', matching g2o's
+        # robustified information matrix).
+        chi2 = jax.lax.stop_gradient(jnp.sum(e * e, axis=-1)) * inv_s2 * hyper.rep_w
+        _, drho = _huber_rho(chi2)
+        w = jnp.sqrt(drho * inv_s2 * hyper.rep_w) * vm
+        return (w[:, None] * e).reshape(-1)
+
+    r_rep1 = rep_block(state.p1, data.R1w, data.t1w, data.kp1, data.inv_sigma2_1)
+    r_rep2 = rep_block(state.p2, data.R2w, data.t2w, data.kp2, data.inv_sigma2_2)
+
+    inv_sigma_d = 1.0 / hyper.depth_sigma
+    rd1 = vm * inv_sigma_d * _depth_errors(data, state.p1, state.s1, data.R1w, data.t1w, data.depth1)
+    rd2 = vm * inv_sigma_d * _depth_errors(data, state.p2, state.s2, data.R2w, data.t2w, data.depth2)
+
+    j_safe = jnp.maximum(data.nbr, 0)
+    edge_ok = (data.nbr_mask & data.valid[:, None] & data.valid[j_safe]).astype(state.p1.dtype)
+    sqrt_info_a = jnp.sqrt(hyper.arap_w) * data.ntri
+    r_arap = (edge_ok * sqrt_info_a * _arap_energies(data, state)).reshape(-1)
+
+    return jnp.concatenate([r_rep1, r_rep2, rd1, rd2, r_arap])
+
+
 # ---------------------------------------------------------------------------
 # Normal-equation assembly from per-edge local Jacobians
 # ---------------------------------------------------------------------------
@@ -198,13 +234,15 @@ def _scatter_system(H, g, L, r, idx):
     return H, g
 
 
-def build_system(cam_kind: str, data: PairData, hyper: Hyper, state: PairState):
-    """Gauss-Newton H, g at ``state`` with robust weights frozen there."""
+def _edge_blocks(cam_kind: str, data: PairData, hyper: Hyper, state: PairState):
+    """Per-edge local Jacobians for every edge family.
+
+    Returns a list of (L [M, rdim, d], r [M, rdim], idx [M, d]) triples;
+    padded/invalid edges carry zero weights so their blocks vanish.
+    """
     n = state.p1.shape[0]
-    dim = _tangent_dim(n)
     dtype = state.p1.dtype
-    H = jnp.zeros((dim, dim), dtype=dtype)
-    g = jnp.zeros((dim,), dtype=dtype)
+    blocks = []
 
     vm = data.valid.astype(dtype)
     idx_p1 = 3 * jnp.arange(n)[:, None] + jnp.arange(3)[None, :]
@@ -231,7 +269,7 @@ def build_system(cam_kind: str, data: PairData, hyper: Hyper, state: PairState):
 
         L = jax.vmap(jax.jacfwd(rep_local), in_axes=(0, 0, 0))(p, kp, w)  # [N,2,3]
         r = jax.vmap(rep_local)(p, kp, w)
-        H, g = _scatter_system(H, g, L, r, idx_p)
+        blocks.append((L, r, idx_p))
 
     # --- depth edges ---
     inv_sigma_d = 1.0 / hyper.depth_sigma
@@ -252,7 +290,7 @@ def build_system(cam_kind: str, data: PairData, hyper: Hyper, state: PairState):
         L = jax.vmap(jax.jacfwd(depth_local), in_axes=(0, 0, 0))(x, d, w)  # [N,1,4]
         r = jax.vmap(depth_local)(x, d, w)
         idx = jnp.concatenate([idx_p, jnp.full((n, 1), i_s, dtype=idx_p.dtype)], axis=-1)
-        H, g = _scatter_system(H, g, L, r, idx)
+        blocks.append((L, r, idx))
 
     # --- ARAP edges (flattened [N*K]) ---
     K = data.nbr.shape[1]
@@ -304,9 +342,33 @@ def build_system(cam_kind: str, data: PairData, hyper: Hyper, state: PairState):
         ],
         axis=-1,
     )  # [NK, 18]
-    H, g = _scatter_system(H, g, L, r, idx)
+    blocks.append((L, r, idx))
 
+    return blocks
+
+
+def build_system(cam_kind: str, data: PairData, hyper: Hyper, state: PairState):
+    """Gauss-Newton H, g at ``state`` with robust weights frozen there."""
+    n = state.p1.shape[0]
+    dim = _tangent_dim(n)
+    dtype = state.p1.dtype
+    H = jnp.zeros((dim, dim), dtype=dtype)
+    g = jnp.zeros((dim,), dtype=dtype)
+    for L, r, idx in _edge_blocks(cam_kind, data, hyper, state):
+        H, g = _scatter_system(H, g, L, r, idx)
     return H, g
+
+
+def assemble_diag(cam_kind: str, data: PairData, hyper: Hyper, state: PairState):
+    """diag(J^T J) without materializing H -- the Jacobi preconditioner of
+    the matrix-free/distributed solve path."""
+    n = state.p1.shape[0]
+    dim = _tangent_dim(n)
+    diag = jnp.zeros((dim,), dtype=state.p1.dtype)
+    for L, _, idx in _edge_blocks(cam_kind, data, hyper, state):
+        contrib = jnp.einsum("mri,mri->mi", L, L)
+        diag = diag.at[idx].add(contrib)
+    return diag
 
 
 # ---------------------------------------------------------------------------
@@ -346,7 +408,7 @@ def make_pair_data(
     inv_sigma2_1=None,
     inv_sigma2_2=None,
     mesh_backend: str = "auto",
-    degree_bucket: int = 16,
+    degree_bucket: int = 32,
 ):
     """Host-side assembly: mesh the CURRENT p1 cloud, freeze ARAP rotations.
 

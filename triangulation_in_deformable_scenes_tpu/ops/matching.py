@@ -1,0 +1,117 @@
+"""Descriptor matching as dense masked matrix ops.
+
+Rebuilds ``Modules/Matching/DescriptorMatching.cc`` TPU-first: instead of
+per-keypoint windowed candidate loops with popcount Hamming
+(``DescriptorMatching.cc:22-99``), the full N1 x N2 Hamming matrix is one
+matmul over 0/1 bit vectors -- exactly the workload the MXU is built for --
+and the grid-window / octave constraints become additive masks.
+
+``search_for_initialization`` mirrors the live matcher
+(``searchForInitializaion``): finest-octave reference keys, a radius
+window scaled by the key's octave, best/second-best ratio 0.9, absolute
+threshold, plus the reference's implicit one-to-one constraint (a current
+key can win at most one reference key; ties resolved by distance).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+BIG = 1_000_000.0
+
+
+def hamming_matrix(bits_a, bits_b):
+    """[N1, 256] x [N2, 256] 0/1 bits -> [N1, N2] Hamming distances.
+
+    H(a, b) = sum(a) + sum(b) - 2 a.b : a single MXU matmul plus rank-1
+    corrections (cheaper and faster than XOR+popcount on TPU).
+    """
+    a = bits_a.astype(jnp.float32)
+    b = bits_b.astype(jnp.float32)
+    dots = jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    sa = jnp.sum(a, axis=-1)
+    sb = jnp.sum(b, axis=-1)
+    return sa[:, None] + sb[None, :] - 2.0 * dots
+
+
+def search_for_initialization(
+    kp_ref,
+    desc_ref,
+    octave_ref,
+    valid_ref,
+    kp_cur,
+    desc_cur,
+    octave_cur,
+    valid_cur,
+    scale_factors,
+    th: float = 50.0,
+    window_factor: float = 50.0,
+    ratio: float = 0.9,
+    max_octave: int = 0,
+):
+    """Returns (matches [N1] int32 with -1 for unmatched, n_matches).
+
+    Parity with ``searchForInitializaion`` (DescriptorMatching.cc:39-99):
+    only reference keys with octave <= max_octave participate; candidates
+    must lie within ``window_factor * scale_factor[octave]`` pixels and in
+    octave [o-1, o+1].
+    """
+    D = hamming_matrix(desc_ref, desc_cur)  # [N1, N2]
+
+    oct_r = octave_ref
+    radius = window_factor * scale_factors[jnp.clip(oct_r, 0, len(scale_factors) - 1)]
+    d2 = jnp.sum((kp_ref[:, None, :] - kp_cur[None, :, :]) ** 2, axis=-1)
+    in_window = d2 <= (radius**2)[:, None]
+    oct_ok = (octave_cur[None, :] >= (oct_r - 1)[:, None]) & (
+        octave_cur[None, :] <= (oct_r + 1)[:, None]
+    )
+    row_ok = (oct_r <= max_octave) & valid_ref
+    allowed = in_window & oct_ok & row_ok[:, None] & valid_cur[None, :]
+
+    Dm = jnp.where(allowed, D, BIG)
+    best = jnp.argmin(Dm, axis=1)
+    best_d = jnp.min(Dm, axis=1)
+    second_d = jnp.min(
+        jnp.where(
+            jnp.arange(Dm.shape[1])[None, :] == best[:, None], BIG, Dm
+        ),
+        axis=1,
+    )
+    ok = (best_d <= th) & (best_d < second_d * ratio)
+
+    # One-to-one: if several reference keys picked the same current key,
+    # keep the smallest distance (the C++ loop's vnMatches21 bookkeeping).
+    n2 = Dm.shape[1]
+    best_safe = jnp.where(ok, best, n2)  # park invalid rows on a dummy column
+    col_min = (
+        jnp.full((n2 + 1,), BIG).at[best_safe].min(jnp.where(ok, best_d, BIG))
+    )
+    keep = ok & (best_d <= col_min[best_safe])
+    matches = jnp.where(keep, best, -1)
+    return matches.astype(jnp.int32), jnp.sum(keep.astype(jnp.int32))
+
+
+def essential_from_pose(R12, t12):
+    """E = [t]x R for the relative transform T12 (``Geometry.cc:239-256``)."""
+    tx = jnp.array(
+        [
+            [0.0, -t12[2], t12[1]],
+            [t12[2], 0.0, -t12[0]],
+            [-t12[1], t12[0], 0.0],
+        ],
+        dtype=R12.dtype,
+    )
+    return tx @ R12
+
+
+def epipolar_inliers(E, rays_ref, rays_cur, th):
+    """Angular epipolar test (``MonocularMapInitializer::computeScoreAndInliers``):
+    |pi/2 - angle(E r1, r2)| < th."""
+    r1h = rays_ref @ E.T
+    r1h = r1h / jnp.linalg.norm(r1h, axis=-1, keepdims=True)
+    r2n = rays_cur / jnp.linalg.norm(rays_cur, axis=-1, keepdims=True)
+    ang = jnp.arccos(jnp.clip(jnp.sum(r1h * r2n, axis=-1), -1.0, 1.0))
+    return jnp.abs(jnp.pi / 2 - ang) < th

@@ -22,7 +22,6 @@ import dataclasses
 
 import numpy as np
 
-from ..ops import arap as arap_ops
 from ..ops import camera as cam_ops
 from ..ops import lie
 from ..ops import mesh as mesh_ops
@@ -102,6 +101,93 @@ def sim_absolute_errors(p1, p2, valid, gt_index, original, moved) -> AbsoluteErr
     )
 
 
+def bilinear_interpolate(mat: np.ndarray, x, y) -> np.ndarray:
+    """Image bilinear lookup, parity with ``Interpolate`` (Geometry.cc:607-620)."""
+    mat = np.asarray(mat, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    x0 = np.clip(np.floor(x).astype(int), 0, mat.shape[1] - 2)
+    y0 = np.clip(np.floor(y).astype(int), 0, mat.shape[0] - 2)
+    fx = x - x0
+    fy = y - y0
+    w00 = (1 - fx) * (1 - fy)
+    w10 = fx * (1 - fy)
+    w01 = (1 - fx) * fy
+    w11 = 1 - w00 - w01 - w10
+    return (
+        mat[y0, x0] * w00
+        + mat[y0, x0 + 1] * w10
+        + mat[y0 + 1, x0] * w01
+        + mat[y0 + 1, x0 + 1] * w11
+    )
+
+
+def real_absolute_errors(
+    ph_params,
+    T1w,
+    T2w,
+    p1,
+    p2,
+    kp1,
+    kp2,
+    d1,
+    d2,
+    valid,
+) -> AbsoluteErrors:
+    """Parity with ``measureRealAbsoluteMapErrors`` (``Measurements.cc:101-348``).
+
+    Ground truth comes from back-projecting the measured depths through the
+    PINHOLE model (the reference uses the secondary pinhole calibration,
+    ``Measurements.cc:193-199``): X = unproject(kp)/z * d, lifted to world by
+    the inverse pose. The up-to-scale variant divides the depths by the mean
+    realized scale d_z / z_map before back-projection.
+    """
+    valid = np.asarray(valid, dtype=bool)
+    kp1v, kp2v = np.asarray(kp1)[valid], np.asarray(kp2)[valid]
+    p1v, p2v = np.asarray(p1)[valid], np.asarray(p2)[valid]
+    d1v, d2v = np.asarray(d1)[valid], np.asarray(d2)[valid]
+
+    fx, fy, cx, cy = ph_params[:4]
+
+    def backproject(kp, d):
+        rx = (kp[:, 0] - cx) / fx
+        ry = (kp[:, 1] - cy) / fy
+        return np.stack([rx * d, ry * d, d], axis=-1)
+
+    def to_world(Xc, T):
+        R, t = np.asarray(T[0]), np.asarray(T[1])
+        return (Xc - t) @ R  # R^T (Xc - t)
+
+    gt1 = to_world(backproject(kp1v, d1v), T1w)
+    gt2 = to_world(backproject(kp2v, d2v), T2w)
+
+    z1 = (p1v @ np.asarray(T1w[0]).T + np.asarray(T1w[1]))[:, 2]
+    z2 = (p2v @ np.asarray(T2w[0]).T + np.asarray(T2w[1]))[:, 2]
+    scale1 = float((d1v / z1).mean())
+    scale2 = float((d2v / z2).mean())
+
+    e1 = p1v - gt1
+    e2 = p2v - gt2
+    mv = np.linalg.norm(gt1 - gt2, axis=-1)
+    n_pairs = max(len(gt1), 1)
+    n_points = 2 * n_pairs
+
+    gt1s = to_world(backproject(kp1v, d1v / scale1), T1w)
+    gt2s = to_world(backproject(kp2v, d2v / scale2), T2w)
+    up_err = (
+        np.linalg.norm(p1v - gt1s, axis=-1).sum() + np.linalg.norm(p2v - gt2s, axis=-1).sum()
+    ) / n_points
+
+    return AbsoluteErrors(
+        av_movement=float(mv.sum() / n_pairs),
+        av_error=float(
+            (np.linalg.norm(e1, axis=-1).sum() + np.linalg.norm(e2, axis=-1).sum()) / n_points
+        ),
+        rmse=float(np.sqrt(((e1**2).sum() + (e2**2).sum()) / n_points)),
+        av_up_to_scale=float(up_err),
+    )
+
+
 @dataclasses.dataclass
 class RelativeErrors:
     rel_error: float = 0.0  # sum of squared edge-difference norms / mesh area
@@ -122,17 +208,19 @@ def relative_map_errors(T1w, T2w, p1, p2, s1, s2, d1, d2, valid, Rg, tg) -> Rela
     p2v = np.asarray(p2)[valid]
     ctx = mesh_ops.build_mesh_context(p1v)
 
-    rel = arap_ops.relative_edge_errors(
-        jnp.asarray(p1v), jnp.asarray(p2v), jnp.asarray(ctx.nbr), jnp.asarray(ctx.nbr_mask)
-    )
-    glob = arap_ops.global_edge_errors(
-        jnp.asarray(p1v),
-        jnp.asarray(p2v),
-        jnp.asarray(ctx.nbr),
-        jnp.asarray(ctx.nbr_mask),
-        jnp.asarray(Rg),
-        jnp.asarray(tg),
-    )
+    # Host-side numpy (metrics run once per round; jit compiles for every new
+    # mesh degree would dominate the wall time on TPU).
+    j_safe = np.maximum(ctx.nbr, 0)
+    mask = ctx.nbr_mask
+    e1_edges = p1v[:, None, :] - p1v[j_safe]
+    e2_edges = p2v[:, None, :] - p2v[j_safe]
+    diff = e2_edges - e1_edges
+    rel = np.where(mask, (diff**2).sum(-1), 0.0)
+    Rg_np, tg_np = np.asarray(Rg), np.asarray(tg)
+    g_i = p2v @ Rg_np.T - tg_np - p1v
+    g_j = p2v[j_safe] @ Rg_np.T - tg_np - p1v[j_safe]
+    gd = g_i[:, None, :] + g_j
+    glob = np.where(mask, (gd**2).sum(-1), 0.0)
 
     z1 = np.asarray(lie.apply(jnp.asarray(T1w[0]), jnp.asarray(T1w[1]), jnp.asarray(p1v)))[:, 2]
     z2 = np.asarray(lie.apply(jnp.asarray(T2w[0]), jnp.asarray(T2w[1]), jnp.asarray(p2v)))[:, 2]
