@@ -88,6 +88,7 @@ class Config:
     opt_alpha_weight: float = 1.0
     opt_beta_weight: float = 1.0
     opt_selection: str = ""
+    opt_model: str = "ARAP"
     opt_weights_selection: str = ""
     triangulation_method: str = "NRSLAM"
     triangulation_location: str = "inRays"
@@ -185,6 +186,7 @@ def load_config(path: str) -> Config:
         opt_alpha_weight=g("Optimization.alpha", 1.0),
         opt_beta_weight=g("Optimization.beta", 1.0),
         opt_selection=g("Optimization.selection", "", str),
+        opt_model=g("Optimization.model", "ARAP", str),
         opt_weights_selection=g("Optimization.weightsSelection", "", str),
         triangulation_method=g("Triangulation.method", "NRSLAM", str),
         triangulation_location=g("Triangulation.seed.location", "inRays", str),

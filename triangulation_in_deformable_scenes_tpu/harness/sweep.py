@@ -1,0 +1,158 @@
+"""Synthetic experiment sweeps over models x triangulations x conditions.
+
+Parity with ``Data/Scripts/synthetic/run_synthetic_experiments.py`` +
+``Data/Scripts/config.py``: the same condition matrix (depth 20/80/150cm via
+the second-camera pose table, Planar/Gradual shapes, 2.5/10mm gaussian/rigid
+movements, experiment repetitions), the same result layout
+``<out>/<Model>/<Triangulation>/<depth>cm Depth/<Shape>/<mov> mm <type>/<n>/
+Experiment.txt`` -- but executed in-process against the pipelines instead of
+re-running a compiled binary with a rewritten YAML per condition.
+
+Fixtures come from the reference's committed ``SinteticDataBase`` when a root
+is given, or are generated on the fly with ``create_data`` parity semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterable, Optional
+
+import numpy as np
+
+from ..config import Config
+from ..pipeline.simulation import SimulationPipeline
+from . import create_data
+
+# Second-camera poses per depth condition
+# (run_synthetic_experiments.py:88-93).
+CAMERA_POSES = {
+    150: (0.34, 0.08, 0.06),
+    80: (0.24, 0.01, 0.06),
+    20: (0.14, 0.01, 0.06),
+}
+
+# Experiment types (Scripts/config.py:setExperiment).
+EXPERIMENT_TYPES = {
+    1: {"gaussian": 2.5, "rigid": 0.0},
+    2: {"gaussian": 0.0, "rigid": 2.5},
+    3: {"gaussian": 2.5, "rigid": 2.5},
+    4: {"gaussian": 10.0, "rigid": 0.0},
+    5: {"gaussian": 0.0, "rigid": 10.0},
+    6: {"gaussian": 10.0, "rigid": 10.0},
+}
+
+SHAPE_EXPERIMENT_TYPES = {
+    "Planar": [1, 2, 3, 4, 5, 6],
+    "Gradual": [2, 3, 5, 6],
+}
+
+# Triangulation seed naming: the sweep configs use capitalized "InRays"
+# (Scripts/config.py) while the pipeline key is "inRays".
+SEED_ALIASES = {"InRays": "inRays", "TwoPoints": "TwoPoints", "FarPoints": "FarPoints"}
+
+
+def movement_dirname(gaussian: float, rigid: float) -> str:
+    total = "2_5" if (gaussian == 2.5 or rigid == 2.5) else "10"
+    if gaussian == 0:
+        kind = "rigid"
+    elif rigid == 0:
+        kind = "gaussian"
+    else:
+        kind = "gaussian + rigid"
+    return f"{total} mm {kind}"
+
+
+@dataclasses.dataclass
+class SweepCondition:
+    model: str
+    triangulation: str  # InRays | TwoPoints | FarPoints
+    depth_cm: int
+    shape: str  # Planar | Gradual
+    experiment_type: int
+    experiment: int  # repetition index
+
+    @property
+    def result_dir(self) -> str:
+        p = EXPERIMENT_TYPES[self.experiment_type]
+        return os.path.join(
+            self.model,
+            self.triangulation,
+            f"{self.depth_cm}cm Depth",
+            self.shape,
+            movement_dirname(p["gaussian"], p["rigid"]),
+            str(self.experiment),
+        )
+
+    @property
+    def fixture_dir(self) -> str:
+        p = EXPERIMENT_TYPES[self.experiment_type]
+        return os.path.join(
+            f"{self.depth_cm}cm Depth",
+            self.shape,
+            movement_dirname(p["gaussian"], p["rigid"]),
+            str(self.experiment),
+        )
+
+
+def _fixture_points(cond: SweepCondition, database_root: Optional[str], rng):
+    """Load a committed fixture or generate one with create_data semantics."""
+    if database_root:
+        d = os.path.join(database_root, cond.fixture_dir)
+        of, mf = os.path.join(d, "original_points.csv"), os.path.join(d, "moved_points.csv")
+        if os.path.exists(of) and os.path.exists(mf):
+            return of, mf, None
+    p = EXPERIMENT_TYPES[cond.experiment_type]
+    orig, moved = create_data.generate_points(
+        rigid_movement=p["rigid"] / 1000.0,
+        gaussian_movement=p["gaussian"] / 1000.0,
+        z_mean=cond.depth_cm / 100.0,
+        movement_type="Gradual" if cond.shape == "Gradual" else "Planar",
+        rng=rng,
+    )
+    return None, None, (orig, moved)
+
+
+def run_sweep(
+    base_cfg: Config,
+    conditions: Iterable[SweepCondition],
+    out_root: str,
+    database_root: Optional[str] = None,
+    seed: int = 0,
+    mesh_backend: str = "auto",
+    progress=None,
+):
+    """Run every condition; returns [(condition, SimulationResult)].
+
+    Writes ``Experiment.txt`` per condition in the reference layout under
+    ``out_root``.
+    """
+    import tempfile
+
+    results = []
+    rng = np.random.default_rng(seed)
+    for cond in conditions:
+        cfg = dataclasses.replace(
+            base_cfg,
+            c2_pose=CAMERA_POSES[cond.depth_cm],
+            triangulation_location=SEED_ALIASES.get(cond.triangulation, cond.triangulation),
+            opt_model=cond.model,
+        )
+        of, mf, generated = _fixture_points(cond, database_root, rng)
+        if generated is not None:
+            tmp = tempfile.mkdtemp(prefix="tids_sweep_")
+            of = os.path.join(tmp, "original_points.csv")
+            mf = os.path.join(tmp, "moved_points.csv")
+            create_data.save_points(of, generated[0])
+            create_data.save_points(mf, generated[1])
+
+        result_dir = os.path.join(out_root, cond.result_dir)
+        os.makedirs(result_dir, exist_ok=True)
+        journal = os.path.join(result_dir, "Experiment.txt")
+
+        pipe = SimulationPipeline(cfg, seed=seed, mesh_backend=mesh_backend)
+        res = pipe.run(of, mf, journal_path=journal)
+        results.append((cond, res))
+        if progress:
+            progress(cond, res)
+    return results

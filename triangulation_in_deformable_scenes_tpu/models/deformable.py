@@ -47,6 +47,59 @@ from ..ops import mesh as mesh_ops
 HUBER_DELTA = float(np.sqrt(100.991))  # deltaMono, g2oBundleAdjustment.cc:631
 
 
+class ModelSpec(NamedTuple):
+    """Static structure of the deformation model (resolved at trace time).
+
+    The reference's experiment sweeps exercise a family of models (the
+    committed results under ``Data/Experiments/{ARAP, ARAP_NoGlobal,
+    ARAP_OneSet, ARAP_depth_*, ARAP_not_scaled_depth, ARAP_depth_onlyTriang,
+    Elastic, HyperElasticOdgen}``); the shipped C++ retains only the ARAP
+    energy (``g2oTypes.h:300-349``) plus both depth-edge variants
+    (``EdgeDepthCorrection`` / ``EdgeDepthWithoutScaleCorrection``,
+    ``g2oTypes.h:390-448``). This spec reconstructs the full family:
+
+    - energy "ARAP": cotangent-weighted local-rigidity residual with the
+      frozen per-vertex rotations;
+      "Elastic": spring energy on edge-length change;
+      "Ogden": one-term Ogden hyperelastic energy on the edge stretch, with
+      the (alpha, beta) bulk/shear parameters the ARAP edge carries but never
+      uses in the reference (``g2oTypes.h:343-348``).
+    - depth "scaled": (d / s - z)^2 with optimizable scale; "fixed":
+      (d - z * s)^2 with the scale frozen at its initial estimate;
+      "none": depth used only for triangulation.
+    - one_set: a single 3D point per match (both reprojection edges act on
+      the same point; deformation energies vanish identically).
+    - use_global: include the global-SE3 alignment term inside the mesh-edge
+      energy (off for ARAP_NoGlobal).
+    """
+
+    energy: str = "ARAP"
+    depth: str = "scaled"
+    one_set: bool = False
+    use_global: bool = True
+
+
+MODELS = {
+    "ARAP": ModelSpec(),
+    "ARAP_NoGlobal": ModelSpec(use_global=False),
+    "ARAP_OneSet": ModelSpec(one_set=True),
+    "ARAP_not_scaled_depth": ModelSpec(depth="fixed"),
+    "ARAP_depth_onlyTriang": ModelSpec(depth="none"),
+    "ARAP_depth_1mm": ModelSpec(),
+    "ARAP_depth_3mm": ModelSpec(),
+    "ARAP_depth_8mm": ModelSpec(),
+    "Elastic": ModelSpec(energy="Elastic"),
+    "HyperElasticOdgen": ModelSpec(energy="Ogden"),
+}
+
+
+def model_depth_sigma(name: str):
+    """Depth-uncertainty override (meters) for the ARAP_depth_<x>mm models."""
+    if name.startswith("ARAP_depth_") and name.endswith("mm"):
+        return float(name[len("ARAP_depth_") : -2]) / 1000.0
+    return None
+
+
 class PairData(NamedTuple):
     """Fixed observations for one keyframe pair (padded to N)."""
 
@@ -86,6 +139,10 @@ class Hyper(NamedTuple):
     # Kept for signature parity with the reference inner solve, where the
     # global weight is accepted but unused (g2oBundleAdjustment.cc:608,699).
     global_w: jnp.ndarray
+    # Bulk/shear parameters of the hyperelastic energy (Optimization.alpha /
+    # .beta; carried-but-unused by the reference's ARAP edge).
+    alpha: float = 1.0
+    beta: float = 1.0
 
 
 def _tangent_dim(n: int) -> int:
@@ -123,26 +180,87 @@ def _rep_errors(cam_kind, data: PairData, p, R, t, kp):
     return kp - proj
 
 
-def _depth_errors(data: PairData, p, s, R, t, d):
-    """EdgeDepthCorrection error: (d/s - z_cam)^2, x500 when s <= 0; [N]."""
+def _canon_state(spec: ModelSpec, state: PairState) -> PairState:
+    """Tie the second point set to the first for one-set models."""
+    if spec.one_set:
+        return state._replace(p2=state.p1)
+    return state
+
+
+def _depth_errors(data: PairData, p, s, R, t, d, mode: str = "scaled"):
+    """Depth-edge error per point, [N].
+
+    mode "scaled": EdgeDepthCorrection (d/s - z)^2 with x500 penalty at
+    s <= 0 (g2oTypes.h:390-421); "fixed": EdgeDepthWithoutScaleCorrection
+    (d - z*s)^2 with the scale frozen (g2oTypes.h:423-448); "none": 0.
+    """
+    if mode == "none":
+        return jnp.zeros_like(d)
     z = lie.apply(R, t, p)[..., 2]
+    if mode == "fixed":
+        s0 = jax.lax.stop_gradient(s)
+        return (d - z * s0) ** 2
     e = (d / s - z) ** 2
     return jnp.where(s <= 0.0, 500.0 * e, e)
 
 
-def _arap_energies(data: PairData, state: PairState):
-    """EdgeARAP energies per directed mesh edge, [N, K] (masked)."""
-    return arap_ops.arap_edge_energy(
-        state.p1,
-        state.p2,
-        data.Ri,
-        data.nbr,
-        data.nbr_mask,
-        data.wcot,
-        data.area,
-        state.Rg,
-        state.tg,
-    )
+def _mesh_edge_energy_scalar(spec: ModelSpec, p1i, p2i, p1j, p2j, Ri, Rj, w, area, Rg, tg, alpha, beta):
+    """Scalar mesh-edge energy for one directed edge (see ModelSpec)."""
+    d1 = p1i - p1j
+    d2 = p2i - p2j
+    if spec.energy == "ARAP":
+        first = (d2 - Ri @ d1) / area
+        second = (-d2 - Rj @ (-d1)) / area
+        e = w * (first @ first + second @ second)
+    elif spec.energy == "Elastic":
+        l1 = jnp.sqrt(d1 @ d1 + 1e-300)
+        l2 = jnp.sqrt(d2 @ d2 + 1e-300)
+        # Spring energy on edge-length change; the factor 2 mirrors the ARAP
+        # edge's two (i and j) half-terms.
+        e = 2.0 * w * ((l2 - l1) / area) ** 2
+    else:  # Ogden
+        l1 = jnp.sqrt(d1 @ d1 + 1e-300)
+        l2 = jnp.sqrt(d2 @ d2 + 1e-300)
+        lam = l2 / l1
+        W = (lam**alpha + lam ** (-alpha * beta) - 2.0) / jnp.maximum(alpha, 1e-6)
+        e = w * W * (l1 / area) ** 2
+    if spec.use_global:
+        g = (Rg @ p2i - tg - p1i) + (Rg @ p2j - tg - p1j)
+        e = e + g @ g
+    return e
+
+
+def _arap_energies(data: PairData, state: PairState, spec: ModelSpec = ModelSpec(), hyper: Hyper = None):
+    """Mesh-edge energies per directed edge, [N, K] (masked).
+
+    For the ARAP energy this equals ``arap_ops.arap_edge_energy``
+    (EdgeARAP::computeError); other members of the model family share the
+    same [N, K] layout.
+    """
+    alpha = hyper.alpha if hyper is not None else 1.0
+    beta = hyper.beta if hyper is not None else 1.0
+    if spec == ModelSpec() or (spec.energy == "ARAP" and spec.use_global and not spec.one_set):
+        return arap_ops.arap_edge_energy(
+            state.p1, state.p2, data.Ri, data.nbr, data.nbr_mask, data.wcot,
+            data.area, state.Rg, state.tg,
+        )
+    n, K = data.nbr.shape
+    j_safe = jnp.maximum(data.nbr, 0).reshape(-1)
+    i_ids = jnp.broadcast_to(jnp.arange(n)[:, None], (n, K)).reshape(-1)
+    E = jax.vmap(
+        lambda p1i, p2i, p1j, p2j, Ri, Rj, w: _mesh_edge_energy_scalar(
+            spec, p1i, p2i, p1j, p2j, Ri, Rj, w, data.area, state.Rg, state.tg, alpha, beta
+        )
+    )(
+        state.p1[i_ids],
+        state.p2[i_ids],
+        state.p1[j_safe],
+        state.p2[j_safe],
+        data.Ri[i_ids],
+        data.Ri[j_safe],
+        data.wcot.reshape(-1),
+    ).reshape(n, K)
+    return jnp.where(data.nbr_mask, E, 0.0)
 
 
 def _huber_rho(chi2, delta=HUBER_DELTA):
@@ -154,8 +272,15 @@ def _huber_rho(chi2, delta=HUBER_DELTA):
     return rho, drho
 
 
-def robust_cost(cam_kind: str, data: PairData, hyper: Hyper, state: PairState):
+def robust_cost(
+    cam_kind: str,
+    data: PairData,
+    hyper: Hyper,
+    state: PairState,
+    spec: ModelSpec = ModelSpec(),
+):
     """Total robustified chi2 (the quantity g2o's LM accept/reject uses)."""
+    state = _canon_state(spec, state)
     vm = data.valid.astype(state.p1.dtype)
 
     omega1 = data.inv_sigma2_1 * hyper.rep_w
@@ -169,18 +294,24 @@ def robust_cost(cam_kind: str, data: PairData, hyper: Hyper, state: PairState):
     cost_rep = jnp.sum(vm * (rho1 + rho2))
 
     info_d = 1.0 / (hyper.depth_sigma * hyper.depth_sigma)
-    ed1 = _depth_errors(data, state.p1, state.s1, data.R1w, data.t1w, data.depth1)
-    ed2 = _depth_errors(data, state.p2, state.s2, data.R2w, data.t2w, data.depth2)
+    ed1 = _depth_errors(data, state.p1, state.s1, data.R1w, data.t1w, data.depth1, spec.depth)
+    ed2 = _depth_errors(data, state.p2, state.s2, data.R2w, data.t2w, data.depth2, spec.depth)
     cost_depth = jnp.sum(vm * info_d * (ed1 * ed1 + ed2 * ed2))
 
     info_a = hyper.arap_w * data.ntri * data.ntri
-    E = _arap_energies(data, state)
+    E = _arap_energies(data, state, spec, hyper)
     cost_arap = jnp.sum(info_a * E * E)
 
     return cost_rep + cost_depth + cost_arap
 
 
-def residual_vector(cam_kind: str, data: PairData, hyper: Hyper, state: PairState):
+def residual_vector(
+    cam_kind: str,
+    data: PairData,
+    hyper: Hyper,
+    state: PairState,
+    spec: ModelSpec = ModelSpec(),
+):
     """Weighted residual vector r with sum(r^2) == robust chi2 (Huber via
     IRLS weights evaluated at ``state``). Layout: [rep1 (N*2), rep2 (N*2),
     depth1 (N), depth2 (N), arap (N*K)].
@@ -189,6 +320,7 @@ def residual_vector(cam_kind: str, data: PairData, hyper: Hyper, state: PairStat
     jvp/vjp of this function composed with ``apply_delta``, which is how the
     landmark-sharded multi-chip solver avoids materializing H.
     """
+    state = _canon_state(spec, state)
     vm = data.valid.astype(state.p1.dtype)
 
     def rep_block(p, R, t, kp, inv_s2):
@@ -205,13 +337,17 @@ def residual_vector(cam_kind: str, data: PairData, hyper: Hyper, state: PairStat
     r_rep2 = rep_block(state.p2, data.R2w, data.t2w, data.kp2, data.inv_sigma2_2)
 
     inv_sigma_d = 1.0 / hyper.depth_sigma
-    rd1 = vm * inv_sigma_d * _depth_errors(data, state.p1, state.s1, data.R1w, data.t1w, data.depth1)
-    rd2 = vm * inv_sigma_d * _depth_errors(data, state.p2, state.s2, data.R2w, data.t2w, data.depth2)
+    rd1 = vm * inv_sigma_d * _depth_errors(
+        data, state.p1, state.s1, data.R1w, data.t1w, data.depth1, spec.depth
+    )
+    rd2 = vm * inv_sigma_d * _depth_errors(
+        data, state.p2, state.s2, data.R2w, data.t2w, data.depth2, spec.depth
+    )
 
     j_safe = jnp.maximum(data.nbr, 0)
     edge_ok = (data.nbr_mask & data.valid[:, None] & data.valid[j_safe]).astype(state.p1.dtype)
     sqrt_info_a = jnp.sqrt(hyper.arap_w) * data.ntri
-    r_arap = (edge_ok * sqrt_info_a * _arap_energies(data, state)).reshape(-1)
+    r_arap = (edge_ok * sqrt_info_a * _arap_energies(data, state, spec, hyper)).reshape(-1)
 
     return jnp.concatenate([r_rep1, r_rep2, rd1, rd2, r_arap])
 
@@ -234,19 +370,28 @@ def _scatter_system(H, g, L, r, idx):
     return H, g
 
 
-def _edge_blocks(cam_kind: str, data: PairData, hyper: Hyper, state: PairState):
+def _edge_blocks(
+    cam_kind: str,
+    data: PairData,
+    hyper: Hyper,
+    state: PairState,
+    spec: ModelSpec = ModelSpec(),
+):
     """Per-edge local Jacobians for every edge family.
 
     Returns a list of (L [M, rdim, d], r [M, rdim], idx [M, d]) triples;
     padded/invalid edges carry zero weights so their blocks vanish.
     """
+    state = _canon_state(spec, state)
     n = state.p1.shape[0]
     dtype = state.p1.dtype
     blocks = []
 
     vm = data.valid.astype(dtype)
     idx_p1 = 3 * jnp.arange(n)[:, None] + jnp.arange(3)[None, :]
-    idx_p2 = 3 * n + idx_p1
+    # One-set models: every "second set" derivative lands on the first set's
+    # coordinates (the p2 tangent block stays zero and p2 never moves).
+    idx_p2 = idx_p1 if spec.one_set else 3 * n + idx_p1
     i_s1 = 6 * n
     i_s2 = 6 * n + 1
     idx_xi = 6 * n + 2 + jnp.arange(6)
@@ -272,25 +417,29 @@ def _edge_blocks(cam_kind: str, data: PairData, hyper: Hyper, state: PairState):
         blocks.append((L, r, idx_p))
 
     # --- depth edges ---
-    inv_sigma_d = 1.0 / hyper.depth_sigma
-    for (p, s, R, t, d, idx_p, i_s) in (
-        (state.p1, state.s1, data.R1w, data.t1w, data.depth1, idx_p1, i_s1),
-        (state.p2, state.s2, data.R2w, data.t2w, data.depth2, idx_p2, i_s2),
-    ):
+    if spec.depth != "none":
+        inv_sigma_d = 1.0 / hyper.depth_sigma
+        for (p, s, R, t, d, idx_p, i_s) in (
+            (state.p1, state.s1, data.R1w, data.t1w, data.depth1, idx_p1, i_s1),
+            (state.p2, state.s2, data.R2w, data.t2w, data.depth2, idx_p2, i_s2),
+        ):
 
-        def depth_local(x, di, wi):
-            pi, si = x[:3], x[3]
-            z = (R @ pi + t)[2]
-            e = (di / si - z) ** 2
-            e = jnp.where(si <= 0.0, 500.0 * e, e)
-            return (wi * e)[None]
+            def depth_local(x, di, wi):
+                pi, si = x[:3], x[3]
+                z = (R @ pi + t)[2]
+                if spec.depth == "fixed":
+                    e = (di - z * jax.lax.stop_gradient(si)) ** 2
+                else:
+                    e = (di / si - z) ** 2
+                    e = jnp.where(si <= 0.0, 500.0 * e, e)
+                return (wi * e)[None]
 
-        x = jnp.concatenate([p, jnp.full((n, 1), s, dtype=dtype)], axis=-1)
-        w = vm * inv_sigma_d
-        L = jax.vmap(jax.jacfwd(depth_local), in_axes=(0, 0, 0))(x, d, w)  # [N,1,4]
-        r = jax.vmap(depth_local)(x, d, w)
-        idx = jnp.concatenate([idx_p, jnp.full((n, 1), i_s, dtype=idx_p.dtype)], axis=-1)
-        blocks.append((L, r, idx))
+            x = jnp.concatenate([p, jnp.full((n, 1), s, dtype=dtype)], axis=-1)
+            w = vm * inv_sigma_d
+            L = jax.vmap(jax.jacfwd(depth_local), in_axes=(0, 0, 0))(x, d, w)  # [N,1,4]
+            r = jax.vmap(depth_local)(x, d, w)
+            idx = jnp.concatenate([idx_p, jnp.full((n, 1), i_s, dtype=idx_p.dtype)], axis=-1)
+            blocks.append((L, r, idx))
 
     # --- ARAP edges (flattened [N*K]) ---
     K = data.nbr.shape[1]
@@ -308,12 +457,10 @@ def _edge_blocks(cam_kind: str, data: PairData, hyper: Hyper, state: PairState):
         xi = x[12:18]
         dR, dt = lie.se3_exp(xi)
         Rg, tg = lie.compose(dR, dt, Rg0, tg0)
-        d1 = p1i - p1j
-        d2 = p2i - p2j
-        first = (d2 - Ri @ d1) / data.area
-        second = (-d2 - Rj @ (-d1)) / data.area
-        gterm = (Rg @ p2i - tg - p1i) + (Rg @ p2j - tg - p1j)
-        energy = wcot * (first @ first + second @ second) + gterm @ gterm
+        energy = _mesh_edge_energy_scalar(
+            spec, p1i, p2i, p1j, p2j, Ri, Rj, wcot, data.area, Rg, tg,
+            hyper.alpha, hyper.beta,
+        )
         return (we * energy)[None]
 
     x_edges = jnp.concatenate(
@@ -347,25 +494,37 @@ def _edge_blocks(cam_kind: str, data: PairData, hyper: Hyper, state: PairState):
     return blocks
 
 
-def build_system(cam_kind: str, data: PairData, hyper: Hyper, state: PairState):
+def build_system(
+    cam_kind: str,
+    data: PairData,
+    hyper: Hyper,
+    state: PairState,
+    spec: ModelSpec = ModelSpec(),
+):
     """Gauss-Newton H, g at ``state`` with robust weights frozen there."""
     n = state.p1.shape[0]
     dim = _tangent_dim(n)
     dtype = state.p1.dtype
     H = jnp.zeros((dim, dim), dtype=dtype)
     g = jnp.zeros((dim,), dtype=dtype)
-    for L, r, idx in _edge_blocks(cam_kind, data, hyper, state):
+    for L, r, idx in _edge_blocks(cam_kind, data, hyper, state, spec):
         H, g = _scatter_system(H, g, L, r, idx)
     return H, g
 
 
-def assemble_diag(cam_kind: str, data: PairData, hyper: Hyper, state: PairState):
+def assemble_diag(
+    cam_kind: str,
+    data: PairData,
+    hyper: Hyper,
+    state: PairState,
+    spec: ModelSpec = ModelSpec(),
+):
     """diag(J^T J) without materializing H -- the Jacobi preconditioner of
     the matrix-free/distributed solve path."""
     n = state.p1.shape[0]
     dim = _tangent_dim(n)
     diag = jnp.zeros((dim,), dtype=state.p1.dtype)
-    for L, _, idx in _edge_blocks(cam_kind, data, hyper, state):
+    for L, _, idx in _edge_blocks(cam_kind, data, hyper, state, spec):
         contrib = jnp.einsum("mri,mri->mi", L, L)
         diag = diag.at[idx].add(contrib)
     return diag
@@ -376,22 +535,26 @@ def assemble_diag(cam_kind: str, data: PairData, hyper: Hyper, state: PairState)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cam_kind", "n_iterations"))
+@functools.partial(jax.jit, static_argnames=("cam_kind", "n_iterations", "spec"))
 def solve_pair(
     cam_kind: str,
     data: PairData,
     hyper: Hyper,
     state0: PairState,
     n_iterations: int,
+    spec: ModelSpec = ModelSpec(),
 ) -> lm_ops.LMResult:
     """One ``arapOptimization`` inner solve: n_iterations of LM."""
-    return lm_ops.lm_optimize(
-        build_system=lambda s: build_system(cam_kind, data, hyper, s),
-        robust_cost=lambda s: robust_cost(cam_kind, data, hyper, s),
+    res = lm_ops.lm_optimize(
+        build_system=lambda s: build_system(cam_kind, data, hyper, s, spec),
+        robust_cost=lambda s: robust_cost(cam_kind, data, hyper, s, spec),
         apply_delta=apply_delta,
         state0=state0,
         n_iterations=n_iterations,
     )
+    if spec.one_set:
+        res = res._replace(state=res.state._replace(p2=res.state.p1))
+    return res
 
 
 def make_pair_data(

@@ -56,6 +56,10 @@ class OuterConfig(NamedTuple):
     nlopt_abs_tol: float
     lower_bounds: tuple  # (rep, global, arap)
     upper_bounds: tuple
+    # Deformation model family (ARAP / ARAP_NoGlobal / ARAP_OneSet /
+    # ARAP_depth_* / ARAP_not_scaled_depth / ARAP_depth_onlyTriang /
+    # Elastic / HyperElasticOdgen) -- see deformable.MODELS.
+    model: str = "ARAP"
 
 
 @dataclasses.dataclass
@@ -67,11 +71,16 @@ class OuterResult:
 
 
 def _hyper(weights, cfg: OuterConfig) -> deformable.Hyper:
+    sigma = deformable.model_depth_sigma(cfg.model)
+    if sigma is None:
+        sigma = float(cfg.depth_sigma)
     return deformable.Hyper(
         rep_w=jnp.asarray(float(weights[0])),
         arap_w=jnp.asarray(float(weights[2])),
-        depth_sigma=jnp.asarray(float(cfg.depth_sigma)),
+        depth_sigma=jnp.asarray(sigma),
         global_w=jnp.asarray(float(weights[1])),
+        alpha=jnp.asarray(float(cfg.alpha)),
+        beta=jnp.asarray(float(cfg.beta)),
     )
 
 
@@ -87,7 +96,14 @@ def arap_optimization(
     ``update`` is the summed point displacement over BOTH sets, the quantity
     the reference accumulates at write-back (``g2oBundleAdjustment.cc:978-990``).
     """
-    res = deformable.solve_pair(cam_kind, data, _hyper(weights, cfg), state, cfg.n_opt_iterations)
+    if cfg.model not in deformable.MODELS:
+        raise ValueError(
+            f"Unknown deformation model '{cfg.model}'; known: {sorted(deformable.MODELS)}"
+        )
+    spec = deformable.MODELS[cfg.model]
+    res = deformable.solve_pair(
+        cam_kind, data, _hyper(weights, cfg), state, cfg.n_opt_iterations, spec
+    )
     vm = np.asarray(data.valid, dtype=bool)
     d1 = np.linalg.norm(np.asarray(res.state.p1 - state.p1)[vm], axis=-1).sum()
     d2 = np.linalg.norm(np.asarray(res.state.p2 - state.p2)[vm], axis=-1).sum()

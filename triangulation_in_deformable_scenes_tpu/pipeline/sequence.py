@@ -326,6 +326,7 @@ class SequencePipeline:
             nlopt_abs_tol=cfg.nlopt_abs_tolerance,
             lower_bounds=(cfg.nlopt_rep_lower, cfg.nlopt_global_lower, cfg.nlopt_arap_lower),
             upper_bounds=(cfg.nlopt_rep_upper, cfg.nlopt_global_upper, cfg.nlopt_arap_upper),
+            model=cfg.opt_model,
         )
 
         def on_round(i, st, w):
