@@ -110,6 +110,48 @@ def arap_optimization(
     return res.state, float(d1 + d2)
 
 
+def _numdiff_lm(residuals, x0, lb, ub, max_evals=10, eps_rel=1e-3, lam0=1e-3):
+    """Tiny Levenberg-Marquardt with forward-difference Jacobian over a
+    low-dimensional weight vector (the reference's Eigen
+    ``NumericalDiff<EigenOptimizationFunctor>`` path). Frozen dimensions
+    (lb == ub) are skipped."""
+    x = np.clip(np.asarray(x0, dtype=np.float64), lb, ub)
+    free = np.nonzero(ub > lb)[0]
+    n_eval = 0
+    r = residuals(x)
+    n_eval += 1
+    lam = lam0
+    while n_eval < max_evals and len(free):
+        J = np.zeros((len(r), len(free)))
+        for c, i in enumerate(free):
+            h = max(abs(x[i]) * eps_rel, 1e-9)
+            xp = x.copy()
+            xp[i] = min(x[i] + h, ub[i])
+            rp = residuals(xp)
+            n_eval += 1
+            J[:, c] = (rp - r) / max(xp[i] - x[i], 1e-12)
+            if n_eval >= max_evals:
+                break
+        A = J.T @ J + lam * np.eye(len(free))
+        g = J.T @ r
+        try:
+            delta = np.linalg.solve(A, -g)
+        except np.linalg.LinAlgError:
+            break
+        x_new = x.copy()
+        x_new[free] = np.clip(x[free] + delta, lb[free], ub[free])
+        if n_eval >= max_evals:
+            break
+        r_new = residuals(x_new)
+        n_eval += 1
+        if r_new @ r_new < r @ r:
+            x, r = x_new, r_new
+            lam = max(lam / 3.0, 1e-12)
+        else:
+            lam *= 10.0
+    return x
+
+
 def deformation_optimization(
     cam_kind: str,
     cam_params,
@@ -155,7 +197,55 @@ def deformation_optimization(
             mesh_backend=mesh_backend,
         )
 
-        if cfg.opt_selection == "twoOptimizations":
+        if cfg.opt_selection == "open3DArap":
+            # ``arapOpen3DOptimization`` (g2oBundleAdjustment.cc:1010-1104):
+            # deform the KF1 mesh as-rigidly-as-possible and take the result
+            # as the second point set. The reference's constraint list is
+            # zero-initialized, pinning only vertex 0 to the first moved
+            # point -- reproduced here.
+            from ..ops import arap as arap_ops
+            from ..ops import mesh as mesh_ops
+
+            vmask = np.asarray(valid, dtype=bool)
+            vidx = np.nonzero(vmask)[0]
+            p1v = np.asarray(state.p1)[vidx]
+            ctx = mesh_ops.build_mesh_context(p1v, backend=mesh_backend)
+            deformed = arap_ops.arap_deform(
+                p_rest=jnp.asarray(p1v),
+                nbr=jnp.asarray(ctx.nbr),
+                nbr_mask=jnp.asarray(ctx.nbr_mask),
+                weights=jnp.asarray(ctx.weights),
+                constraint_idx=jnp.asarray([0]),
+                constraint_pos=state.p2[jnp.asarray(vidx[:1])],
+                iters=cfg.n_opt_iterations,
+            )
+            new_p2 = np.array(state.p2)
+            new_p2[vidx] = np.asarray(deformed)
+            update = float(np.linalg.norm(new_p2[vidx] - np.asarray(state.p2)[vidx], axis=-1).sum())
+            state = state._replace(p2=jnp.asarray(new_p2))
+            if on_round is not None and i != cfg.n_optimizations:
+                on_round(i, state, weights)
+            continue
+
+        if cfg.opt_selection == "twoOptimizations" and cfg.weights_selection == "eigen":
+            # ``EigenOptimization.h:30-63``: derivative-free LM over the
+            # weights with residuals (log sigma_c1)^2, (log sigma_c2)^2 and
+            # forward-difference Jacobian, maxfev ~ 10.
+            def residuals(x):
+                cand_state, _ = arap_optimization(cam_kind, data, state, x, cfg)
+                pix = metrics_mod.pixels_stand_dev(
+                    cam_kind, cam_params, T1w, T2w, cand_state.p1, cand_state.p2, kp1, kp2, valid
+                )
+                return np.array(
+                    [
+                        np.log(max(pix.desvc1, 1e-300)) ** 2,
+                        np.log(max(pix.desvc2, 1e-300)) ** 2,
+                    ]
+                )
+
+            weights = _numdiff_lm(residuals, weights, lb, ub, max_evals=10)
+
+        elif cfg.opt_selection == "twoOptimizations":
             # The objective is a discrepancy principle: log^2(sigma) is
             # minimized when the residual pixel deviation matches the
             # (assumed 1px) observation noise (nloptOptimization.cc:26-31).

@@ -22,6 +22,7 @@ padded slots gather row 0 and are masked out downstream.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import lie
@@ -83,6 +84,66 @@ def arap_edge_energy(p1, p2, R, nbr, nbr_mask, weights, area, Rg, tg):
         + energy_global
     )
     return jnp.where(nbr_mask, energy, 0.0)
+
+
+def arap_deform(
+    p_rest,
+    nbr,
+    nbr_mask,
+    weights,
+    constraint_idx,
+    constraint_pos,
+    iters: int = 50,
+    p_init=None,
+):
+    """Classic local-global ARAP surface deformation (Sorkine-Alexa).
+
+    Serves the reference's "open3DArap" optimizer selection, which calls
+    Open3D's ``DeformAsRigidAsPossible`` with the Spokes energy
+    (``g2oBundleAdjustment.cc:1058-1061``): minimize
+    sum_ij w_ij || (p'_i - p'_j) - R_i (p_i - p_j) ||^2 subject to hard
+    position constraints, alternating the per-vertex rotation fit (local
+    step, batched SVD) with a linear Laplacian solve (global step). The
+    Laplacian is constant, so it is factorized once and reused across the
+    ``lax.fori_loop`` iterations.
+
+    NOTE: the reference passes a zero-initialized constraint index list --
+    effectively pinning only vertex 0 -- a quirk the caller may reproduce by
+    passing ``constraint_idx=[0]``.
+    """
+    n = p_rest.shape[0]
+    dtype = p_rest.dtype
+    w = jnp.where(nbr_mask, weights, 0.0)
+    j_safe = jnp.maximum(nbr, 0)
+
+    # Uniform Laplacian of the cot-weighted graph: L[i,i] = sum_j w_ij,
+    # L[i,j] = -w_ij.
+    L = jnp.zeros((n, n), dtype=dtype)
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], nbr.shape)
+    L = L.at[rows, j_safe].add(-w)
+    L = L.at[jnp.arange(n), jnp.arange(n)].add(jnp.sum(w, axis=1))
+
+    # Hard constraints: replace the constrained rows by identity rows.
+    cmask = jnp.zeros((n,), dtype=bool).at[constraint_idx].set(True)
+    L = jnp.where(cmask[:, None], jnp.eye(n, dtype=dtype), L)
+    # Small regularization keeps unconstrained components well-posed.
+    L = L + 1e-12 * jnp.eye(n, dtype=dtype)
+    lu, piv = jax.scipy.linalg.lu_factor(L)
+
+    cpos = jnp.zeros((n, 3), dtype=dtype).at[constraint_idx].set(constraint_pos)
+    p0 = p_rest if p_init is None else p_init
+
+    def body(_, p):
+        R = compute_rotations(p_rest, p, nbr, nbr_mask, weights)
+        Rj = R[j_safe]
+        rest_edges = p_rest[:, None, :] - p_rest[j_safe]
+        rhs_edges = 0.5 * jnp.einsum(
+            "nk,nkab,nkb->na", w, (R[:, None] + Rj), rest_edges
+        )
+        b = jnp.where(cmask[:, None], cpos, rhs_edges)
+        return jax.scipy.linalg.lu_solve((lu, piv), b)
+
+    return jax.lax.fori_loop(0, iters, body, p0)
 
 
 def relative_edge_errors(p1, p2, nbr, nbr_mask):

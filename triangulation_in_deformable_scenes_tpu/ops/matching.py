@@ -94,6 +94,170 @@ def search_for_initialization(
     return matches.astype(jnp.int32), jnp.sum(keep.astype(jnp.int32))
 
 
+def _best_second_best(Dm):
+    """Per-row best index/distance and second-best distance of a masked
+    distance matrix (BIG on disallowed entries)."""
+    best = jnp.argmin(Dm, axis=1)
+    best_d = jnp.min(Dm, axis=1)
+    second_d = jnp.min(
+        jnp.where(jnp.arange(Dm.shape[1])[None, :] == best[:, None], BIG, Dm), axis=1
+    )
+    return best, best_d, second_d
+
+
+def _one_to_one(best, best_d, ok, n2):
+    """Resolve row->column conflicts by keeping the smallest distance (the
+    C++ matchers' vnMatches21 bookkeeping)."""
+    best_safe = jnp.where(ok, best, n2)
+    col_min = jnp.full((n2 + 1,), BIG).at[best_safe].min(jnp.where(ok, best_d, BIG))
+    keep = ok & (best_d <= col_min[best_safe])
+    return jnp.where(keep, best, -1).astype(jnp.int32), jnp.sum(keep.astype(jnp.int32))
+
+
+def guided_matching(
+    proj_uv,
+    mp_desc,
+    mp_octave,
+    mp_valid,
+    kp_cur,
+    desc_cur,
+    octave_cur,
+    valid_cur,
+    scale_factors,
+    th: float = 50.0,
+    window_factor: float = 1.0,
+    ratio: float = 0.9,
+):
+    """``guidedMatching`` (DescriptorMatching.cc:101-162), batched.
+
+    ``proj_uv`` are the map points projected into the current frame; the
+    search radius is 15 * window_factor * scale_factor[octave] and candidates
+    must lie within one octave of the point's last observation.
+    """
+    D = hamming_matrix(mp_desc, desc_cur)
+    radius = 15.0 * window_factor * scale_factors[jnp.clip(mp_octave, 0, len(scale_factors) - 1)]
+    d2 = jnp.sum((proj_uv[:, None, :] - kp_cur[None, :, :]) ** 2, axis=-1)
+    oct_ok = (octave_cur[None, :] >= (mp_octave - 1)[:, None]) & (
+        octave_cur[None, :] <= (mp_octave + 1)[:, None]
+    )
+    allowed = (
+        (d2 <= (radius**2)[:, None]) & oct_ok & mp_valid[:, None] & valid_cur[None, :]
+    )
+    Dm = jnp.where(allowed, D, BIG)
+    best, best_d, second_d = _best_second_best(Dm)
+    ok = (best_d <= th) & (best_d < second_d * ratio)
+    return _one_to_one(best, best_d, ok, Dm.shape[1])
+
+
+def search_with_projection(
+    proj_uv,
+    mp_desc,
+    mp_valid,
+    view_cos,
+    dist,
+    min_dist_inv,
+    max_dist_inv,
+    kp_cur,
+    desc_cur,
+    octave_cur,
+    valid_cur,
+    scale_factors,
+    th: float = 100.0,
+    ratio: float = 0.9,
+):
+    """``searchWithProjection`` (DescriptorMatching.cc:164-254), batched.
+
+    Local-map tracking matcher: view-angle gate (cos >= 0.5), distance within
+    the point's scale-invariance range, octave predicted from the distance,
+    and a view-angle-dependent radius (2.5x when nearly frontal, 4x else).
+    """
+    n_scales = len(scale_factors)
+    log_sf = jnp.log(scale_factors[1]) if n_scales > 1 else jnp.asarray(1.0)
+    pred_octave = jnp.clip(
+        jnp.ceil(jnp.log(max_dist_inv / jnp.maximum(dist, 1e-12)) / log_sf), 0, n_scales - 1
+    ).astype(jnp.int32)
+    radius = scale_factors[pred_octave] * jnp.where(view_cos > 0.998, 2.5, 4.0)
+
+    gate = (
+        mp_valid
+        & (view_cos >= 0.5)
+        & (dist >= min_dist_inv)
+        & (dist <= max_dist_inv)
+    )
+    D = hamming_matrix(mp_desc, desc_cur)
+    d2 = jnp.sum((proj_uv[:, None, :] - kp_cur[None, :, :]) ** 2, axis=-1)
+    oct_ok = (octave_cur[None, :] >= (pred_octave - 1)[:, None]) & (
+        octave_cur[None, :] <= (pred_octave + 1)[:, None]
+    )
+    allowed = (d2 <= (radius**2)[:, None]) & oct_ok & gate[:, None] & valid_cur[None, :]
+    Dm = jnp.where(allowed, D, BIG)
+    best, best_d, second_d = _best_second_best(Dm)
+    ok = (best_d <= th) & (best_d < second_d * ratio)
+    return _one_to_one(best, best_d, ok, Dm.shape[1])
+
+
+def search_for_triangulation(
+    desc1,
+    desc2,
+    rays1,
+    rays2,
+    E,
+    free1,
+    free2,
+    th: float = 50.0,
+    epipolar_th: float = 0.002,
+):
+    """``searchForTriangulation`` (DescriptorMatching.cc:255-328), batched.
+
+    Epipolar-constrained matching between two keyframes over features not yet
+    associated with a map point (``free`` masks). The reference applies a
+    hard 50 cap before its threshold and keeps best-per-row under the
+    epipolar gate; its one-to-one bookkeeping is replicated by the
+    column-minimum pass (the C++ version's ``vbMatched2[bestDist]`` index bug
+    is NOT reproduced).
+    """
+    D = hamming_matrix(desc1, desc2)
+    r1h = rays1 @ E.T
+    r1h = r1h / jnp.linalg.norm(r1h, axis=-1, keepdims=True)
+    r2n = rays2 / jnp.linalg.norm(rays2, axis=-1, keepdims=True)
+    ang = jnp.arccos(jnp.clip(r1h @ r2n.T, -1.0, 1.0))
+    epi_ok = jnp.abs(jnp.pi / 2 - ang) < epipolar_th
+    allowed = (D <= 50.0) & epi_ok & free1[:, None] & free2[None, :]
+    Dm = jnp.where(allowed, D, BIG)
+    best, best_d, _ = _best_second_best(Dm)
+    ok = best_d < th
+    return _one_to_one(best, best_d, ok, Dm.shape[1])
+
+
+def fuse_matching(
+    proj_uv,
+    mp_desc,
+    mp_octave,
+    mp_valid,
+    kp_kf,
+    desc_kf,
+    octave_kf,
+    valid_kf,
+    scale_factors,
+    th: float = 50.0,
+    ratio: float = 0.9,
+):
+    """Matching stage of ``fuse`` (DescriptorMatching.cc:330-427): project
+    candidate map points into a keyframe, radius 2.5 * scale_factor[octave].
+    The caller merges/adds observations via WorldMap.fuse_map_points."""
+    D = hamming_matrix(mp_desc, desc_kf)
+    radius = 2.5 * scale_factors[jnp.clip(mp_octave, 0, len(scale_factors) - 1)]
+    d2 = jnp.sum((proj_uv[:, None, :] - kp_kf[None, :, :]) ** 2, axis=-1)
+    oct_ok = (octave_kf[None, :] >= (mp_octave - 1)[:, None]) & (
+        octave_kf[None, :] <= (mp_octave + 1)[:, None]
+    )
+    allowed = (d2 <= (radius**2)[:, None]) & oct_ok & mp_valid[:, None] & valid_kf[None, :]
+    Dm = jnp.where(allowed, D, BIG)
+    best, best_d, second_d = _best_second_best(Dm)
+    ok = (best_d <= th) & (best_d < second_d * ratio)
+    return jnp.where(ok, best, -1).astype(jnp.int32), jnp.sum(ok.astype(jnp.int32))
+
+
 def essential_from_pose(R12, t12):
     """E = [t]x R for the relative transform T12 (``Geometry.cc:239-256``)."""
     tx = jnp.array(
