@@ -35,6 +35,7 @@ from ..ops import matching as match_ops
 from ..ops import triangulation as tri
 from ..utils import metrics as metrics_mod
 from ..utils.journal import ExperimentJournal
+from ..viz import FrameVisualizer, MapVisualizer
 
 
 def to_grayscale(im: np.ndarray) -> np.ndarray:
@@ -71,12 +72,25 @@ class PairInitResult:
 
 
 class SequencePipeline:
-    def __init__(self, cfg: Config, border_mask: Optional[np.ndarray] = None):
+    def __init__(
+        self,
+        cfg: Config,
+        border_mask: Optional[np.ndarray] = None,
+        viz_dir: str = "./viz",
+    ):
         self.cfg = cfg
         self.cam_kind = cam_ops.KB8
         self.cam_params = cfg.kb8_params
         self.border_mask = border_mask
         self.scale_factors = np.array([cfg.scale_factor**o for o in range(cfg.n_scales)])
+        # Headless visualizers, gated like the reference's showScene flags
+        # (SLAM.cc:49-50 creates both; Settings.cc:155-189 toggles them).
+        self.frame_viz = FrameVisualizer(enabled=cfg.show_scene, out_dir=viz_dir)
+        self.map_viz = MapVisualizer(
+            enabled=cfg.show_scene or cfg.show_solution,
+            out_dir=viz_dir,
+            draw_rays=cfg.draw_rays,
+        )
 
     # ------------------------------------------------------------------
     def extract(self, gray: np.ndarray) -> feat_ops.Keypoints:
@@ -249,20 +263,37 @@ class SequencePipeline:
         ref = None
         ref_pose = None
         ref_depth = None
+        ref_gray = None
 
         for idx, rgb, depth, (R_wc, t_wc), ts in loader.frames(start, end, step):
             gray = to_grayscale(rgb)
             kps = self.extract(gray)
+            self.frame_viz.draw_features(
+                np.asarray(kps.xy), gray, np.asarray(kps.valid), name="features"
+            )
             Tcw = lie.inverse(jnp.asarray(R_wc), jnp.asarray(t_wc))
             if ref is None:
-                ref, ref_pose, ref_depth = kps, Tcw, depth
+                ref, ref_pose, ref_depth, ref_gray = kps, Tcw, depth, gray
+                self.frame_viz.set_reference_frame(np.asarray(kps.xy), gray)
                 continue
 
             init = self.initialize_pair(ref, kps, ref_pose, Tcw, ref_depth, depth)
             if not init.accepted:
                 if init.n_matches < cfg.min_matches:
-                    ref, ref_pose, ref_depth = kps, Tcw, depth  # reset reference
+                    ref, ref_pose, ref_depth, ref_gray = kps, Tcw, depth, gray
+                    self.frame_viz.set_reference_frame(np.asarray(kps.xy), gray)
                 continue
+
+            if self.frame_viz.enabled:
+                # The match list is already compacted to pairs; identity
+                # correspondence reproduces drawFrameMatches/-Triangulated.
+                pairing = np.arange(len(init.kp1))
+                self.frame_viz.draw_matches(
+                    init.kp1, ref_gray, init.kp2, gray, pairing, name="matches"
+                )
+                self.frame_viz.draw_triangulated_matches(
+                    init.kp2, gray, pairing, init.valid, name="triangulated"
+                )
 
             return self._refine_and_report(
                 init, ref_pose, Tcw, journal_path, mesh_backend
@@ -355,6 +386,17 @@ class SequencePipeline:
         pix1, rel1, abs1 = measure(result.state)
         journal.relative(pix1, rel1)
         journal.real_absolute(abs1)
+
+        if self.map_viz.enabled:
+            cam_centers = [
+                (np.asarray(R).T, -np.asarray(R).T @ np.asarray(t)) for R, t in (T1w, T2w)
+            ]
+            v = np.asarray(init.valid, dtype=bool)
+            self.map_viz.update(
+                np.asarray(result.state.p1)[v], np.asarray(result.state.p2)[v], cam_centers
+            )
+            self.map_viz.snapshot()
+            self.map_viz.export_ply()
 
         return {
             "init": init,

@@ -42,6 +42,7 @@ from ..ops import lie
 from ..ops import triangulation as tri
 from ..utils import csvio, metrics as metrics_mod
 from ..utils.journal import ExperimentJournal
+from ..viz import MapVisualizer
 
 
 @dataclasses.dataclass
@@ -223,6 +224,23 @@ class SimulationPipeline:
         pix1, rel1, abs1 = measure(result.state)
         journal.relative(pix1, rel1)
         journal.sim_absolute(abs1)
+
+        # Solution visualization (gated like SLAM::viusualizeSolution /
+        # MapVisualizer.showScene, Settings.cc:155-189) -- headless PNG + PLY.
+        if cfg.show_scene or cfg.show_solution:
+            import os
+
+            out_dir = os.path.join(
+                os.path.dirname(os.path.abspath(journal_path or cfg.exp_file_path)), "viz"
+            )
+            mviz = MapVisualizer(enabled=True, out_dir=out_dir, draw_rays=cfg.draw_rays)
+            cam_centers = [
+                (np.asarray(R).T, -np.asarray(R).T @ np.asarray(t)) for R, t in (T1w, T2w)
+            ]
+            v = valid
+            mviz.update(np.asarray(result.state.p1)[v], np.asarray(result.state.p2)[v], cam_centers)
+            mviz.snapshot()
+            mviz.export_ply()
 
         return SimulationResult(
             state=result.state,
