@@ -51,6 +51,7 @@ def search_for_initialization(
     window_factor: float = 50.0,
     ratio: float = 0.9,
     max_octave: int = 0,
+    backend: str | None = None,
 ):
     """Returns (matches [N1] int32 with -1 for unmatched, n_matches).
 
@@ -58,7 +59,22 @@ def search_for_initialization(
     only reference keys with octave <= max_octave participate; candidates
     must lie within ``window_factor * scale_factor[octave]`` pixels and in
     octave [o-1, o+1].
+
+    ``backend``: "pallas" forces the fused TPU kernel, "xla" the dense-matrix
+    path; None auto-selects pallas on TPU (bit-identical results -- the
+    kernel is the same math with the [N1, N2] intermediates kept in VMEM).
     """
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from . import pallas_kernels
+
+        return pallas_kernels.fused_search_for_initialization(
+            kp_ref, desc_ref, octave_ref, valid_ref,
+            kp_cur, desc_cur, octave_cur, valid_cur,
+            scale_factors, th=th, window_factor=window_factor,
+            ratio=ratio, max_octave=max_octave,
+        )
     D = hamming_matrix(desc_ref, desc_cur)  # [N1, N2]
 
     oct_r = octave_ref
