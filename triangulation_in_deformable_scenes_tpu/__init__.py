@@ -15,14 +15,15 @@ The reference implementation is cited throughout as ``file:line`` under the
 upstream repo (e.g. ``Modules/Utils/Geometry.cc:103``); no code is ported --
 the citations document behavioral parity only.
 
-Double precision: the reference optimizer runs in f64 (g2o). We enable x64 so
-the refinement can match its numerics; hot image-front-end kernels explicitly
-request f32/bf16. Set ``TIDS_NO_X64=1`` before import to opt out.
+Precision: the device compute path is f32 (TPUs have no f64 hardware; see
+``precision.py`` for the policy and the equilibrated/refined linear solves
+that make f32 sufficient). Host-side prep and metrics stay numpy f64.
+Set ``TIDS_X64=1`` before import to re-enable global f64 for debugging.
 """
 
 import os as _os
 
-if not _os.environ.get("TIDS_NO_X64"):
+if _os.environ.get("TIDS_X64"):
     import jax as _jax
 
     _jax.config.update("jax_enable_x64", True)

@@ -31,6 +31,7 @@ import numpy as np
 from ..ops import camera as cam_ops
 from ..ops import lie
 from ..ops import lm as lm_ops
+from ..precision import FP, TINY
 
 HUBER_BA = float(np.sqrt(5.99))  # thHuber2D (g2oBundleAdjustment.cc:57)
 CHI2_OUTLIER = 5.991
@@ -79,7 +80,7 @@ def _chi2(cam_kind, data, state):
 
 def _huber(chi2, delta):
     d2 = delta * delta
-    sqrt_c = jnp.sqrt(jnp.maximum(chi2, 1e-300))
+    sqrt_c = jnp.sqrt(jnp.maximum(chi2, TINY))
     rho = jnp.where(chi2 <= d2, chi2, 2.0 * delta * sqrt_c - d2)
     drho = jnp.where(chi2 <= d2, 1.0, delta / sqrt_c)
     return rho, drho
@@ -170,16 +171,16 @@ def pose_only_optimization(cam_kind, cam_params, points, kps, inv_sigma2, R0, t0
     data = BAData(
         obs_kf=jnp.zeros(n, dtype=jnp.int32),
         obs_mp=jnp.arange(n, dtype=jnp.int32),
-        obs_uv=jnp.asarray(kps, dtype=jnp.float64),
-        obs_info=jnp.asarray(inv_sigma2, dtype=jnp.float64),
+        obs_uv=jnp.asarray(kps, dtype=FP),
+        obs_info=jnp.asarray(inv_sigma2, dtype=FP),
         obs_valid=inliers,
-        cam_params=jnp.asarray(cam_params, dtype=jnp.float64),
+        cam_params=jnp.asarray(cam_params, dtype=FP),
         fixed_pose=jnp.zeros(1, dtype=bool),
     )
     state = BAState(
-        R=jnp.asarray(R0, dtype=jnp.float64)[None],
-        t=jnp.asarray(t0, dtype=jnp.float64)[None],
-        points=jnp.asarray(points, dtype=jnp.float64),
+        R=jnp.asarray(R0, dtype=FP)[None],
+        t=jnp.asarray(t0, dtype=FP)[None],
+        points=jnp.asarray(points, dtype=FP),
     )
 
     for round_i in range(4):
@@ -238,10 +239,10 @@ def local_bundle_adjustment(world_map, kf_id: int, cam_kind: str, cam_params, n_
     data = BAData(
         obs_kf=jnp.asarray([o[0] for o in obs], dtype=jnp.int32),
         obs_mp=jnp.asarray([o[1] for o in obs], dtype=jnp.int32),
-        obs_uv=jnp.asarray(uv, dtype=jnp.float64),
-        obs_info=jnp.asarray(info, dtype=jnp.float64),
+        obs_uv=jnp.asarray(uv, dtype=FP),
+        obs_info=jnp.asarray(info, dtype=FP),
         obs_valid=jnp.ones(len(obs), dtype=bool),
-        cam_params=jnp.asarray(cam_params, dtype=jnp.float64),
+        cam_params=jnp.asarray(cam_params, dtype=FP),
         # Fix boundary KFs and keyframe 0 (the reference fixes both).
         fixed_pose=jnp.asarray([(k in fixed_kfs) or (k == 0) for k in kf_ids]),
     )

@@ -43,6 +43,7 @@ from ..ops import camera as cam_ops
 from ..ops import lie
 from ..ops import lm as lm_ops
 from ..ops import mesh as mesh_ops
+from ..precision import FP, TINY
 
 HUBER_DELTA = float(np.sqrt(100.991))  # deltaMono, g2oBundleAdjustment.cc:631
 
@@ -213,14 +214,14 @@ def _mesh_edge_energy_scalar(spec: ModelSpec, p1i, p2i, p1j, p2j, Ri, Rj, w, are
         second = (-d2 - Rj @ (-d1)) / area
         e = w * (first @ first + second @ second)
     elif spec.energy == "Elastic":
-        l1 = jnp.sqrt(d1 @ d1 + 1e-300)
-        l2 = jnp.sqrt(d2 @ d2 + 1e-300)
+        l1 = jnp.sqrt(d1 @ d1 + TINY)
+        l2 = jnp.sqrt(d2 @ d2 + TINY)
         # Spring energy on edge-length change; the factor 2 mirrors the ARAP
         # edge's two (i and j) half-terms.
         e = 2.0 * w * ((l2 - l1) / area) ** 2
     else:  # Ogden
-        l1 = jnp.sqrt(d1 @ d1 + 1e-300)
-        l2 = jnp.sqrt(d2 @ d2 + 1e-300)
+        l1 = jnp.sqrt(d1 @ d1 + TINY)
+        l2 = jnp.sqrt(d2 @ d2 + TINY)
         lam = l2 / l1
         W = (lam**alpha + lam ** (-alpha * beta) - 2.0) / jnp.maximum(alpha, 1e-6)
         e = w * W * (l1 / area) ** 2
@@ -266,7 +267,7 @@ def _arap_energies(data: PairData, state: PairState, spec: ModelSpec = ModelSpec
 def _huber_rho(chi2, delta=HUBER_DELTA):
     """g2o RobustKernelHuber: rho(s) and rho'(s) on the chi2 scale."""
     d2 = delta * delta
-    sqrt_c = jnp.sqrt(jnp.maximum(chi2, 1e-300))
+    sqrt_c = jnp.sqrt(jnp.maximum(chi2, TINY))
     rho = jnp.where(chi2 <= d2, chi2, 2.0 * delta * sqrt_c - d2)
     drho = jnp.where(chi2 <= d2, 1.0, delta / sqrt_c)
     return rho, drho
@@ -608,22 +609,22 @@ def make_pair_data(
 
     ones = np.ones(n)
     return PairData(
-        kp1=jnp.asarray(kp1, dtype=jnp.float64),
-        kp2=jnp.asarray(kp2, dtype=jnp.float64),
+        kp1=jnp.asarray(kp1, dtype=FP),
+        kp2=jnp.asarray(kp2, dtype=FP),
         inv_sigma2_1=jnp.asarray(ones if inv_sigma2_1 is None else inv_sigma2_1),
         inv_sigma2_2=jnp.asarray(ones if inv_sigma2_2 is None else inv_sigma2_2),
-        depth1=jnp.asarray(depth1, dtype=jnp.float64),
-        depth2=jnp.asarray(depth2, dtype=jnp.float64),
+        depth1=jnp.asarray(depth1, dtype=FP),
+        depth2=jnp.asarray(depth2, dtype=FP),
         valid=jnp.asarray(valid_np),
-        cam_params=jnp.asarray(cam_params, dtype=jnp.float64),
-        R1w=jnp.asarray(T1w[0], dtype=jnp.float64),
-        t1w=jnp.asarray(T1w[1], dtype=jnp.float64),
-        R2w=jnp.asarray(T2w[0], dtype=jnp.float64),
-        t2w=jnp.asarray(T2w[1], dtype=jnp.float64),
+        cam_params=jnp.asarray(cam_params, dtype=FP),
+        R1w=jnp.asarray(T1w[0], dtype=FP),
+        t1w=jnp.asarray(T1w[1], dtype=FP),
+        R2w=jnp.asarray(T2w[0], dtype=FP),
+        t2w=jnp.asarray(T2w[1], dtype=FP),
         nbr=nbr_j,
         nbr_mask=mask,
         wcot=jnp.asarray(wcot),
         Ri=R,
-        area=jnp.asarray(ctx.surface_area, dtype=jnp.float64),
-        ntri=jnp.asarray(float(ctx.n_triangles), dtype=jnp.float64),
+        area=jnp.asarray(ctx.surface_area, dtype=FP),
+        ntri=jnp.asarray(float(ctx.n_triangles), dtype=FP),
     )

@@ -35,6 +35,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..precision import FP
 
 EDGE = 19  # reference EDGE_THRESHOLD
 HALF_PATCH = 15
@@ -250,7 +251,7 @@ def _extract_patches(im, xy, r):
 
 def orb_descriptors(im_blur, xy, angle, valid):
     """Rotated-BRIEF bits [N, 256] (``ORB::computeORBDescriptor``)."""
-    pat = jnp.asarray(_PATTERN, dtype=jnp.float64)  # [256, 4] (x0, y0, x1, y1)
+    pat = jnp.asarray(_PATTERN, dtype=FP)  # [256, 4] (x0, y0, x1, y1)
     rad = jnp.radians(angle)
     a, b = jnp.cos(rad), jnp.sin(rad)
 
@@ -328,8 +329,8 @@ def extract(
         xy, vals, ok, ang, desc = extract_level(lvl_im, mask_l, budget, th_high, th_low)
         outs.append(
             Keypoints(
-                xy=xy.astype(jnp.float64) * scale,
-                level_xy=xy.astype(jnp.float64),
+                xy=xy.astype(FP) * scale,
+                level_xy=xy.astype(FP),
                 octave=jnp.full((budget,), level, dtype=jnp.int32),
                 score=vals,
                 angle=ang,

@@ -11,8 +11,13 @@ jittable solver:
   (g2o's ``maxTrialsAfterFailure``); an iteration whose trials all fail ends
   the optimization, like g2o's LM loop.
 - gain ratio rho = (F0 - F1) / (delta . (lambda delta - g)).
-- the normal equations are solved densely in f64 (Cholesky); the
-  distributed/CG path for large problems lives in ``parallel/``.
+- the normal equations are solved densely in f32: the damped system is
+  Jacobi-equilibrated to unit diagonal before the Cholesky factorization and
+  the solution is polished with one iterative-refinement step (see
+  ``precision.py`` -- TPUs have no f64 hardware, and the equilibrated +
+  refined f32 solve recovers the accuracy an unscaled f64 factorization
+  gives at these condition numbers). The distributed/CG path for large
+  problems lives in ``parallel/``.
 
 The caller provides three pure functions over an opaque state pytree, so this
 file knows nothing about cameras or ARAP:
@@ -30,6 +35,28 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from ..precision import FP, TINY
+
+
+def solve_damped_cholesky(H, g, lam):
+    """Solve (H + lam I) x = -g by equilibrated Cholesky + one refinement.
+
+    Padded tangent coordinates (all-zero rows of H) stay well-posed because
+    the damping puts ``lam`` on their diagonal.
+    """
+    A = H + lam * jnp.eye(H.shape[0], dtype=H.dtype)
+    s = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(A), TINY))
+    As = A * s[:, None] * s[None, :]
+    L, low = jax.scipy.linalg.cho_factor(As, lower=True)
+
+    def solve(rhs):
+        return s * jax.scipy.linalg.cho_solve((L, low), rhs * s)
+
+    x = solve(-g)
+    # One iterative-refinement step against the unfactored A.
+    x = x + solve(-g - A @ x)
+    return x
 
 
 class LMResult(NamedTuple):
@@ -53,11 +80,6 @@ def lm_optimize(
 
     F0_init = robust_cost(state0)
 
-    def solve_damped(H, g, lam):
-        A = H + lam * jnp.eye(H.shape[0], dtype=H.dtype)
-        L, low = jax.scipy.linalg.cho_factor(A, lower=True)
-        return jax.scipy.linalg.cho_solve((L, low), -g)
-
     def iteration(carry, _):
         state, lam, nu, F, stop = carry
 
@@ -72,10 +94,10 @@ def lm_optimize(
 
             def trial_body(tc):
                 lam, nu, k, _, cur_state, curF = tc
-                delta = solve_damped(H, g, lam)
+                delta = solve_damped_cholesky(H, g, lam)
                 cand = apply_delta(state, delta)
                 F1 = robust_cost(cand)
-                scale = jnp.dot(delta, lam * delta - g) + 1e-300
+                scale = jnp.dot(delta, lam * delta - g) + TINY
                 rho = (F - F1) / scale
                 ok = jnp.logical_and(rho > 0, jnp.isfinite(F1))
                 factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
@@ -105,8 +127,8 @@ def lm_optimize(
 
     init = (
         state0,
-        jnp.array(-1.0, dtype=jnp.float64),
-        jnp.array(2.0, dtype=jnp.float64),
+        jnp.array(-1.0, dtype=FP),
+        jnp.array(2.0, dtype=FP),
         F0_init,
         jnp.bool_(False),
     )

@@ -33,6 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import deformable
 from ..ops import lie
+from ..precision import FP, TINY
 
 POINTS_AXIS = "points"
 
@@ -86,11 +87,11 @@ def _cg(matvec, b, M_inv, iters):
         x, r, z, p = carry
         Ap = matvec(p)
         rz = jnp.dot(r, z)
-        alpha = rz / (jnp.dot(p, Ap) + 1e-300)
+        alpha = rz / (jnp.dot(p, Ap) + TINY)
         x1 = x + alpha * p
         r1 = r - alpha * Ap
         z1 = M_inv * r1
-        beta = jnp.dot(r1, z1) / (rz + 1e-300)
+        beta = jnp.dot(r1, z1) / (rz + TINY)
         p1 = z1 + beta * p
         return (x1, r1, z1, p1)
 
@@ -162,7 +163,7 @@ def solve_pair_distributed(
                 delta = _cg(matvec_fn(lam), -g, M_inv, cg_iters)
                 cand = deformable.apply_delta(state, delta)
                 F1 = cost_fn(cand)
-                scale = jnp.dot(delta, lam * delta - g) + 1e-300
+                scale = jnp.dot(delta, lam * delta - g) + TINY
                 rho = (F - F1) / scale
                 ok = jnp.logical_and(rho > 0, jnp.isfinite(F1))
                 factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
@@ -191,8 +192,8 @@ def solve_pair_distributed(
 
     init = (
         state0,
-        jnp.array(-1.0, dtype=jnp.float64),
-        jnp.array(2.0, dtype=jnp.float64),
+        jnp.array(-1.0, dtype=FP),
+        jnp.array(2.0, dtype=FP),
         F0_init,
         jnp.bool_(False),
     )

@@ -36,6 +36,7 @@ from ..ops import triangulation as tri
 from ..utils import metrics as metrics_mod
 from ..utils.journal import ExperimentJournal
 from ..viz import FrameVisualizer, MapVisualizer
+from ..precision import FP
 
 
 def to_grayscale(im: np.ndarray) -> np.ndarray:
@@ -310,8 +311,8 @@ class SequencePipeline:
             p2=jnp.asarray(init.p2),
             s1=jnp.asarray(init.s1),
             s2=jnp.asarray(init.s2),
-            Rg=jnp.eye(3, dtype=jnp.float64),
-            tg=jnp.zeros(3, dtype=jnp.float64),
+            Rg=jnp.eye(3, dtype=FP),
+            tg=jnp.zeros(3, dtype=FP),
         )
 
         journal = ExperimentJournal(journal_path or cfg.exp_file_path)

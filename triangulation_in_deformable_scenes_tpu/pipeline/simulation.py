@@ -43,6 +43,7 @@ from ..ops import triangulation as tri
 from ..utils import csvio, metrics as metrics_mod
 from ..utils.journal import ExperimentJournal
 from ..viz import MapVisualizer
+from ..precision import FP
 
 
 @dataclasses.dataclass
@@ -72,7 +73,7 @@ class SimulationPipeline:
     def _poses(self, moved0):
         c1 = jnp.asarray(np.asarray(self.cfg.c1_pose, dtype=np.float64))
         c2 = jnp.asarray(np.asarray(self.cfg.c2_pose, dtype=np.float64))
-        T1w = (jnp.eye(3, dtype=jnp.float64), c1)
+        T1w = (jnp.eye(3, dtype=FP), c1)
         T2w = (lie.look_at(c2, jnp.asarray(moved0)), c2)
         return T1w, T2w
 
@@ -150,8 +151,8 @@ class SimulationPipeline:
             p2=jnp.asarray(p2),
             s1=jnp.asarray(s1),
             s2=jnp.asarray(s2),
-            Rg=jnp.eye(3, dtype=jnp.float64),
-            tg=jnp.zeros(3, dtype=jnp.float64),
+            Rg=jnp.eye(3, dtype=FP),
+            tg=jnp.zeros(3, dtype=FP),
         )
 
         journal = ExperimentJournal(journal_path or cfg.exp_file_path, echo=echo)
