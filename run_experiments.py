@@ -19,6 +19,14 @@ import os
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="synthetic", choices=["synthetic", "drunkard"],
+                    help="synthetic condition matrix or the Drunkard real-image sweep")
+    ap.add_argument("--pair", nargs="+", default=None,
+                    help="drunkard: curated frame pairs (default: all four)")
+    ap.add_argument("--level", nargs="+", default=None,
+                    help="drunkard: deformation levels (level0..level3)")
+    ap.add_argument("--data-root", default=None,
+                    help="drunkard: dataset root with <res>/<scene>/<level>/ dirs")
     ap.add_argument("--model", nargs="+", default=["ARAP"],
                     help="model families (see deformable.MODELS)")
     ap.add_argument("--triangulation", nargs="+", default=["InRays"],
@@ -44,6 +52,34 @@ def main():
         write_condition_csv,
     )
     from triangulation_in_deformable_scenes_tpu.harness.sweep import SHAPE_EXPERIMENT_TYPES
+
+    if args.dataset == "drunkard":
+        from triangulation_in_deformable_scenes_tpu.harness import real_sweep
+
+        cfg_path = args.config
+        if cfg_path == ap.get_default("config"):
+            cfg_path = "/root/reference/Data/Drunkard.yaml"
+        base = load_config(cfg_path)
+        base = dataclasses.replace(
+            base,
+            n_optimizations=args.rounds,
+            nlopt_n_optimizations=args.nlopt_evals,
+        )
+        if not args.data_root:
+            ap.error("--dataset drunkard requires --data-root")
+        for pair in args.pair or real_sweep.PAIRS:
+            real_sweep.run_real_sweep(
+                base,
+                args.data_root,
+                pair,
+                out_root=args.out,
+                levels=args.level or real_sweep.LEVELS,
+                experiments=args.experiment,
+                on_result=lambda d, out: print(
+                    f"[{d}] {'ok' if out is not None else 'no pair triangulated'}"
+                ),
+            )
+        return
 
     base = load_config(args.config)
     base = dataclasses.replace(

@@ -1,4 +1,5 @@
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from triangulation_in_deformable_scenes_tpu.ops import camera
@@ -74,12 +75,34 @@ def test_pinhole_vs_kb8_small_angle():
 
 def test_dispatch():
     p = rand_points(seed=9)
+    # jit vs eager: fusion reassociates f32 rounding
     np.testing.assert_allclose(
         np.asarray(camera.project(camera.KB8, KB8_ZERO, p)),
         np.asarray(camera.kb8_project(KB8_ZERO, p)),
+        rtol=1e-5, atol=1e-4,
     )
     pix = camera.kb8_project(KB8_ZERO, p)
     np.testing.assert_allclose(
         np.asarray(camera.unproject(camera.KB8, KB8_ZERO, pix)),
         np.asarray(camera.kb8_unproject(KB8_ZERO, pix)),
+        rtol=1e-5, atol=1e-6,
     )
+
+
+def test_undistort_points_matches_opencv():
+    """Parity with cv::undistortPoints (Frame::undistortKeys, Frame.cc:252-277)."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(0)
+    fx, fy, cx, cy = 458.654, 457.296, 367.215, 248.375
+    dist = np.array([-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05], dtype=np.float64)
+    pts = rng.uniform([50, 50], [680, 430], size=(200, 2)).astype(np.float32)
+
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], dtype=np.float64)
+    expected = cv2.undistortPoints(pts.reshape(-1, 1, 2), K, dist, P=K).reshape(-1, 2)
+
+    got = np.asarray(
+        camera.undistort_points(
+            jnp.asarray([fx, fy, cx, cy]), tuple(dist), jnp.asarray(pts)
+        )
+    )
+    np.testing.assert_allclose(got, expected, atol=5e-3)  # px, f32 + 5 iters

@@ -37,6 +37,16 @@ def make_problem(n_side=5, seed=0, point_noise=2e-3, scale_noise=0.1):
     s1_0 = s1_true * (1 + scale_noise)
     s2_0 = s2_true * (1 - scale_noise)
 
+    # Framework-default configuration: depth scales anchored to their
+    # estimate from the INITIAL points (mean d/z with its standard error) --
+    # what both pipelines pass (see deformable.PairData scale-prior docs).
+    def prior(p0, T, d):
+        r = d / np.asarray(lie.apply(*T, jnp.asarray(p0)))[:, 2]
+        return float(r.mean()), 1.0 / max(float(r.std()) / np.sqrt(len(r)), 1e-6) ** 2
+
+    pr1, info1 = prior(p1_0, T1w, d1)
+    pr2, info2 = prior(p2_0, T2w, d2)
+
     data = deformable.make_pair_data(
         kp1=np.asarray(kp1),
         kp2=np.asarray(kp2),
@@ -48,6 +58,7 @@ def make_problem(n_side=5, seed=0, point_noise=2e-3, scale_noise=0.1):
         T2w=T2w,
         p1=p1_0,
         p2=p2_0,
+        scale_priors=(pr1, info1, pr2, info2),
     )
     state0 = deformable.PairState(
         p1=jnp.asarray(p1_0),

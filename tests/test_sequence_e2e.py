@@ -164,3 +164,77 @@ def test_grayscale_conversion_channels():
     im3 = np.dstack([np.full((4, 4), 10), np.full((4, 4), 20), np.full((4, 4), 30)]).astype(np.uint8)
     g3 = to_grayscale(im3)
     np.testing.assert_allclose(g3, 0.299 * 10 + 0.587 * 20 + 0.114 * 30, atol=0.01)
+
+
+class _PoseFreeLoader:
+    """Wraps a loader, withholding the trajectory (pose-unknown mode)."""
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    def frames(self, start=0, end=None, step=1):
+        for idx, rgb, depth, pose, ts in self._inner.frames(start, end, step):
+            yield idx, rgb, depth, None, ts
+
+
+@pytest.fixture(scope="module")
+def synthetic_step_dataset(tmp_path_factory):
+    """Two-depth 'step' scene: left half plane z=0.9, right half z=1.3.
+
+    The single-plane fixture is DEGENERATE for the 8-point algorithm (any E
+    in a 2-parameter family fits coplanar correspondences exactly -- the
+    reference's computeE path would fail identically); pose-free recovery
+    needs non-planar structure."""
+    root = tmp_path_factory.mktemp("drunkard_step")
+    (root / "color").mkdir()
+    (root / "depth").mkdir()
+    rng = np.random.default_rng(1)
+    texture = np.full((256, 256), 128, dtype=np.uint8)
+    for _ in range(160):
+        y, x = rng.integers(0, 236, size=2)
+        hh, ww = rng.integers(6, 28, size=2)
+        texture[y : y + hh, x : x + ww] = rng.integers(30, 230)
+    texture = cv2.GaussianBlur(texture, (3, 3), 0.8)
+
+    poses = [
+        (np.eye(3), np.array([0.0, 0.0, 0.0])),
+        (np.eye(3), np.array([0.12, 0.02, 0.0])),
+    ]
+    lines = []
+    for i, (R, t) in enumerate(poses):
+        rgb_a, depth_a = render_plane(R, t, texture, plane_z=0.9)
+        rgb_b, depth_b = render_plane(R, t, texture, plane_z=1.3, tex_scale=140.0)
+        rgb = np.concatenate([rgb_a[:, : W // 2], rgb_b[:, W // 2 :]], axis=1)
+        depth = np.concatenate([depth_a[:, : W // 2], depth_b[:, W // 2 :]], axis=1)
+        cv2.imwrite(str(root / "color" / f"{i}.png"), rgb)
+        d16 = np.clip(depth * 100.0, 0, 65535).astype(np.uint16)
+        cv2.imwrite(str(root / "depth" / f"{i}.png"), d16)
+        lines.append(f"{i} {t[0]} {t[1]} {t[2]} 0 0 0 1\n")
+    (root / "pose.txt").write_text("".join(lines))
+    return root
+
+
+def test_sequence_pipeline_pose_free(synthetic_step_dataset, tmp_path):
+    """Pose-unknown initialization end-to-end: the pipeline recovers the
+    relative pose via RANSAC-8-point (MonocularMapInitializer.cc:119-279)
+    and still triangulates/refines. The recovered rotation must match the
+    GT (identity here) and the translation direction the GT baseline."""
+    inner = DrunkardLoader(
+        str(synthetic_step_dataset), str(synthetic_step_dataset / "pose.txt")
+    )
+    pipe = SequencePipeline(seq_config())
+    out = pipe.run(_PoseFreeLoader(inner), journal_path=str(tmp_path / "exp.txt"))
+    assert out is not None, "pose-free pipeline did not triangulate"
+    init = out["init"]
+    assert init.T2w_est is not None
+    R21 = np.asarray(init.T2w_est[0])  # T1w identity -> T2w == T21
+    t21 = np.asarray(init.T2w_est[1])
+    # GT: pure translation (0.12, 0.02, 0) of the camera -> T21 rotation I,
+    # t21 direction = -baseline direction; |t21| rescaled from depth sensor.
+    cos = (np.trace(R21) - 1) / 2
+    assert np.degrees(np.arccos(np.clip(cos, -1, 1))) < 3.0
+    gt = -np.array([0.12, 0.02, 0.0])
+    t_dir = t21 / np.linalg.norm(t21)
+    assert float(t_dir @ (gt / np.linalg.norm(gt))) > 0.97
+    # Monocular scale resolved from the depth measurements to ~GT baseline.
+    assert abs(np.linalg.norm(t21) - np.linalg.norm(gt)) < 0.35 * np.linalg.norm(gt)

@@ -23,9 +23,20 @@ Set ``TIDS_X64=1`` before import to re-enable global f64 for debugging.
 
 import os as _os
 
-if _os.environ.get("TIDS_X64"):
-    import jax as _jax
+import jax as _jax
 
+if _os.environ.get("TIDS_X64"):
     _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the deformable solver's jits take tens of
+# seconds to compile on a tunneled TPU; caching amortizes that across
+# processes (sweeps, benches, repeated CLI runs). Override the location with
+# TIDS_JAX_CACHE, or set it empty to disable.
+_cache_dir = _os.environ.get(
+    "TIDS_JAX_CACHE", _os.path.join(_os.path.expanduser("~"), ".cache", "tids_jax_cache")
+)
+if _cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 __version__ = "0.1.0"

@@ -65,8 +65,10 @@ class ModelSpec(NamedTuple):
       "Ogden": one-term Ogden hyperelastic energy on the edge stretch, with
       the (alpha, beta) bulk/shear parameters the ARAP edge carries but never
       uses in the reference (``g2oTypes.h:343-348``).
-    - depth "scaled": (d / s - z)^2 with optimizable scale; "fixed":
-      (d - z * s)^2 with the scale frozen at its initial estimate;
+    - depth "scaled": linear residual (d/s - z) with optimizable scale (the
+      statistically consistent form -- see ``_depth_errors`` for why the
+      reference's squared variant is kept only as "scaled_squared");
+      "fixed": (d - z * s)^2 with the scale frozen at its initial estimate;
       "none": depth used only for triangulation.
     - one_set: a single 3D point per match (both reprojection edges act on
       the same point; deformation energies vanish identically).
@@ -89,6 +91,8 @@ MODELS = {
     "ARAP_depth_1mm": ModelSpec(),
     "ARAP_depth_3mm": ModelSpec(),
     "ARAP_depth_8mm": ModelSpec(),
+    # Exact-parity variant of the reference's quartic depth edge.
+    "ARAP_squared_depth": ModelSpec(depth="scaled_squared"),
     "Elastic": ModelSpec(energy="Elastic"),
     "HyperElasticOdgen": ModelSpec(energy="Ogden"),
 }
@@ -122,6 +126,19 @@ class PairData(NamedTuple):
     Ri: jnp.ndarray  # [N, 3, 3] frozen ARAP rotations
     area: jnp.ndarray  # scalar mesh surface area
     ntri: jnp.ndarray  # scalar triangle count
+    # Depth-scale prior edges (deviation from the reference, documented):
+    # the initial per-keyframe scale estimate s0 = mean(d_i / z_i) is itself a
+    # measurement whose standard error is computable from the d/z scatter.
+    # The reference leaves the scale vertices unconstrained
+    # (g2oTypes.h:390-421), which leaves a per-camera radial-scaling gauge
+    # mode that reprojection cannot see; the sigma~1px weight-search
+    # objective actively rewards sliding along it (the reference's own
+    # committed FarPoints finals degrade the same way, e.g. 11.5 -> 28.85 mm).
+    # info = 1 / SE(s0)^2; zero info disables the edge (reference behavior).
+    s1_prior: jnp.ndarray = 0.0  # scalar
+    s2_prior: jnp.ndarray = 0.0
+    s1_info: jnp.ndarray = 0.0
+    s2_info: jnp.ndarray = 0.0
 
 
 class PairState(NamedTuple):
@@ -191,9 +208,20 @@ def _canon_state(spec: ModelSpec, state: PairState) -> PairState:
 def _depth_errors(data: PairData, p, s, R, t, d, mode: str = "scaled"):
     """Depth-edge error per point, [N].
 
-    mode "scaled": EdgeDepthCorrection (d/s - z)^2 with x500 penalty at
-    s <= 0 (g2oTypes.h:390-421); "fixed": EdgeDepthWithoutScaleCorrection
-    (d - z*s)^2 with the scale frozen (g2oTypes.h:423-448); "none": 0.
+    mode "scaled" (default): LINEAR residual (d/s - z), chi2 =
+    (d/s - z)^2 / sigma^2 -- the statistically consistent Gaussian
+    depth-measurement model. This deviates from the reference deliberately:
+    ``EdgeDepthCorrection`` SQUARES the metric error inside the residual
+    (g2oTypes.h:400-415), making the chi2 quartic -- a 1-sigma (3 mm) depth
+    deviation costs ~1e-5 while a 1 px reprojection deviation costs ~1, so
+    the depth term only bites tens of millimeters out. That dead zone is what
+    lets the per-camera scale/depth gauge mode slide during the weight
+    search (the reference's own committed finals degrade the same way, e.g.
+    FarPoints 11.5 -> 28.85 mm on the 20.9 mm Gradual condition).
+    mode "scaled_squared": exact reference parity (the quartic edge), with
+    the x500 penalty at s <= 0; "fixed": EdgeDepthWithoutScaleCorrection
+    (d - z*s)^2 with the scale frozen (g2oTypes.h:423-448, parity incl. the
+    squaring); "none": 0.
     """
     if mode == "none":
         return jnp.zeros_like(d)
@@ -201,8 +229,12 @@ def _depth_errors(data: PairData, p, s, R, t, d, mode: str = "scaled"):
     if mode == "fixed":
         s0 = jax.lax.stop_gradient(s)
         return (d - z * s0) ** 2
-    e = (d / s - z) ** 2
-    return jnp.where(s <= 0.0, 500.0 * e, e)
+    if mode == "scaled_squared":
+        e = (d / s - z) ** 2
+        return jnp.where(s <= 0.0, 500.0 * e, e)
+    e = d / s - z
+    # s <= 0 penalty preserved on the chi2 scale (x500).
+    return jnp.where(s <= 0.0, jnp.sqrt(500.0) * e, e)
 
 
 def _mesh_edge_energy_scalar(spec: ModelSpec, p1i, p2i, p1j, p2j, Ri, Rj, w, area, Rg, tg, alpha, beta):
@@ -303,7 +335,13 @@ def robust_cost(
     E = _arap_energies(data, state, spec, hyper)
     cost_arap = jnp.sum(info_a * E * E)
 
-    return cost_rep + cost_depth + cost_arap
+    cost_sprior = 0.0
+    if spec.depth in ("scaled", "scaled_squared"):
+        cost_sprior = data.s1_info * (state.s1 - data.s1_prior) ** 2 + data.s2_info * (
+            state.s2 - data.s2_prior
+        ) ** 2
+
+    return cost_rep + cost_depth + cost_arap + cost_sprior
 
 
 def residual_vector(
@@ -350,7 +388,16 @@ def residual_vector(
     sqrt_info_a = jnp.sqrt(hyper.arap_w) * data.ntri
     r_arap = (edge_ok * sqrt_info_a * _arap_energies(data, state, spec, hyper)).reshape(-1)
 
-    return jnp.concatenate([r_rep1, r_rep2, rd1, rd2, r_arap])
+    # Depth-scale prior edges (see PairData; zero info => inert).
+    sgate = 1.0 if spec.depth in ("scaled", "scaled_squared") else 0.0
+    r_sprior = jnp.stack(
+        [
+            sgate * jnp.sqrt(data.s1_info) * (state.s1 - data.s1_prior),
+            sgate * jnp.sqrt(data.s2_info) * (state.s2 - data.s2_prior),
+        ]
+    )
+
+    return jnp.concatenate([r_rep1, r_rep2, rd1, rd2, r_arap, r_sprior])
 
 
 # ---------------------------------------------------------------------------
@@ -430,9 +477,12 @@ def _edge_blocks(
                 z = (R @ pi + t)[2]
                 if spec.depth == "fixed":
                     e = (di - z * jax.lax.stop_gradient(si)) ** 2
-                else:
+                elif spec.depth == "scaled_squared":
                     e = (di / si - z) ** 2
                     e = jnp.where(si <= 0.0, 500.0 * e, e)
+                else:
+                    e = di / si - z
+                    e = jnp.where(si <= 0.0, jnp.sqrt(500.0) * e, e)
                 return (wi * e)[None]
 
             x = jnp.concatenate([p, jnp.full((n, 1), s, dtype=dtype)], axis=-1)
@@ -492,6 +542,19 @@ def _edge_blocks(
     )  # [NK, 18]
     blocks.append((L, r, idx))
 
+    # --- depth-scale prior edges (see PairData; unit edges on s1, s2) ---
+    if spec.depth in ("scaled", "scaled_squared"):
+        sqrt_i = jnp.stack(
+            [jnp.sqrt(data.s1_info), jnp.sqrt(data.s2_info)]
+        ).astype(dtype)
+        r_s = (
+            sqrt_i
+            * jnp.stack([state.s1 - data.s1_prior, state.s2 - data.s2_prior]).astype(dtype)
+        ).reshape(2, 1)
+        L_s = sqrt_i.reshape(2, 1, 1)
+        idx_s = jnp.array([[i_s1], [i_s2]], dtype=jnp.int32)
+        blocks.append((L_s, r_s, idx_s))
+
     return blocks
 
 
@@ -536,6 +599,19 @@ def assemble_diag(
 # ---------------------------------------------------------------------------
 
 
+# Above this tangent dimension the dense normal equations are not worth
+# materializing (dim^2 f32 for H: 4096 -> 67 MB per instance, and the
+# Cholesky stops fitting comfortably once the weight search vmaps several
+# candidates); the matrix-free CG backend takes over automatically. The
+# reference's committed problem size (5174-dim, debug.txt:1-5) lands on the
+# CG side.
+DENSE_DIM_LIMIT = 4096
+
+# CG iteration budget for the matrix-free path (fixed trip count; Jacobi
+# preconditioned; enough for the damped systems this problem produces).
+CG_ITERS = 64
+
+
 @functools.partial(jax.jit, static_argnames=("cam_kind", "n_iterations", "spec"))
 def solve_pair(
     cam_kind: str,
@@ -545,14 +621,41 @@ def solve_pair(
     n_iterations: int,
     spec: ModelSpec = ModelSpec(),
 ) -> lm_ops.LMResult:
-    """One ``arapOptimization`` inner solve: n_iterations of LM."""
-    res = lm_ops.lm_optimize(
-        build_system=lambda s: build_system(cam_kind, data, hyper, s, spec),
-        robust_cost=lambda s: robust_cost(cam_kind, data, hyper, s, spec),
-        apply_delta=apply_delta,
-        state0=state0,
-        n_iterations=n_iterations,
-    )
+    """One ``arapOptimization`` inner solve: n_iterations of LM.
+
+    Backend dispatch is automatic on the (static) problem size: dense
+    equilibrated Cholesky below ``DENSE_DIM_LIMIT`` tangent dims, matrix-free
+    Jacobi-PCG above (same damping loop either way, ``ops/lm.py``).
+    """
+    n = state0.p1.shape[0]
+    if _tangent_dim(n) > DENSE_DIM_LIMIT:
+        def residual_at(state):
+            def f(delta):
+                return residual_vector(cam_kind, data, hyper, apply_delta(state, delta), spec)
+
+            return f
+
+        make_step = lm_ops.make_cg_step(
+            residual_at,
+            lambda s: assemble_diag(cam_kind, data, hyper, s, spec),
+            _tangent_dim(n),
+            CG_ITERS,
+        )
+        res = lm_ops.lm_optimize_general(
+            make_step,
+            robust_cost=lambda s: robust_cost(cam_kind, data, hyper, s, spec),
+            apply_delta=apply_delta,
+            state0=state0,
+            n_iterations=n_iterations,
+        )
+    else:
+        res = lm_ops.lm_optimize(
+            build_system=lambda s: build_system(cam_kind, data, hyper, s, spec),
+            robust_cost=lambda s: robust_cost(cam_kind, data, hyper, s, spec),
+            apply_delta=apply_delta,
+            state0=state0,
+            n_iterations=n_iterations,
+        )
     if spec.one_set:
         res = res._replace(state=res.state._replace(p2=res.state.p1))
     return res
@@ -573,12 +676,17 @@ def make_pair_data(
     inv_sigma2_2=None,
     mesh_backend: str = "auto",
     degree_bucket: int = 32,
+    scale_priors=None,
 ):
     """Host-side assembly: mesh the CURRENT p1 cloud, freeze ARAP rotations.
 
     Mirrors the per-solve preamble of ``arapOptimization``
     (``g2oBundleAdjustment.cc:652-688``): Delaunay over keyframe-1 positions,
     cot weights, per-vertex rotations from the current two clouds.
+
+    ``scale_priors``: optional (s1_0, info1, s2_0, info2) anchoring the depth
+    scales to their round-0 estimates (see the PairData field docs); None
+    keeps the reference's unconstrained scale vertices.
     """
     n = len(kp1)
     valid_np = np.asarray(valid, dtype=bool)
@@ -627,4 +735,8 @@ def make_pair_data(
         Ri=R,
         area=jnp.asarray(ctx.surface_area, dtype=FP),
         ntri=jnp.asarray(float(ctx.n_triangles), dtype=FP),
+        s1_prior=jnp.asarray(0.0 if scale_priors is None else float(scale_priors[0]), dtype=FP),
+        s1_info=jnp.asarray(0.0 if scale_priors is None else float(scale_priors[1]), dtype=FP),
+        s2_prior=jnp.asarray(0.0 if scale_priors is None else float(scale_priors[2]), dtype=FP),
+        s2_info=jnp.asarray(0.0 if scale_priors is None else float(scale_priors[3]), dtype=FP),
     )

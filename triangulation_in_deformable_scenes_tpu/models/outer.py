@@ -41,6 +41,11 @@ Documented deviations from the reference outer loop:
    -- visible in the reference's own committed sweeps, where final 3D error
    often exceeds the initial one while pixel sigma stays locked near 1).
    The reference's update-magnitude criterion never fires in this regime.
+3. One-sided discrepancy objective with a minimal-displacement tie-break:
+   residual pixel sigma is penalized only above the 1 px noise floor
+   (Morozov's principle; the reference's two-sided log^2 rewards injecting
+   error into a below-noise-accurate map), and among weights below the
+   floor the search prefers the candidate that moved the map least.
 """
 
 from __future__ import annotations
@@ -249,6 +254,11 @@ def nm_weight_search_device(
         z = z_template.at[free_idx].set(zf)
         return jnp.where(wide, 10.0**z, z)
 
+    # Scene scale for the displacement tie-break (mean measured depth).
+    vm = data.valid.astype(dtype)
+    n_valid = jnp.maximum(jnp.sum(vm), 1.0)
+    d_scale = jnp.maximum(jnp.sum(vm * data.depth1) / n_valid, 1e-2)
+
     def objective_and_state(zf):
         w = from_search(zf)
         hyper = deformable.Hyper(
@@ -257,7 +267,23 @@ def nm_weight_search_device(
         )
         res = deformable.solve_pair(cam_kind, data, hyper, state0, n_inner, spec)
         s1, s2 = _pixel_sigma_device(cam_kind, data, res.state)
-        f = jnp.log(jnp.maximum(s1, TINY)) ** 2 + jnp.log(jnp.maximum(s2, TINY)) ** 2
+        # One-sided discrepancy (Morozov): penalize residual pixel sigma only
+        # ABOVE the (assumed 1 px) observation-noise floor. The reference's
+        # two-sided log^2 objective (nloptOptimization.cc:29-31) actively
+        # REWARDS deforming a below-noise-accurate map until sigma rises to
+        # 1 px -- injected error its weak linear-space search rarely finds,
+        # but a working search exploits immediately. Among weights already
+        # fitting below the floor, prefer the least map displacement
+        # (epsilon-weighted tie-break, scale-normalized).
+        f = (
+            jnp.maximum(jnp.log(jnp.maximum(s1, TINY)), 0.0) ** 2
+            + jnp.maximum(jnp.log(jnp.maximum(s2, TINY)), 0.0) ** 2
+        )
+        disp = jnp.sum(
+            vm * (jnp.linalg.norm(res.state.p1 - state0.p1, axis=-1)
+                  + jnp.linalg.norm(res.state.p2 - state0.p2, axis=-1))
+        ) / n_valid
+        f = f + 1e-3 * disp / d_scale
         return jnp.where(jnp.isfinite(f), f, jnp.inf).astype(dtype)
 
     objective = jax.vmap(objective_and_state)
@@ -386,6 +412,7 @@ def deformation_optimization(
     cfg: OuterConfig,
     on_round: Optional[Callable] = None,
     mesh_backend: str = "auto",
+    scale_priors=None,
 ) -> OuterResult:
     """Full outer loop. ``on_round(i, state, weights)`` fires after each
     non-final round for journaling (parity with the per-iteration metric
@@ -402,21 +429,6 @@ def deformation_optimization(
         if update < 1e-4 * n_points:
             break
         rounds = i
-
-        # Snapshot mesh/rotations once per round (shared by every evaluation).
-        data = deformable.make_pair_data(
-            kp1=kp1,
-            kp2=kp2,
-            depth1=d1,
-            depth2=d2,
-            valid=valid,
-            cam_params=cam_params,
-            T1w=T1w,
-            T2w=T2w,
-            p1=np.asarray(state.p1),
-            p2=np.asarray(state.p2),
-            mesh_backend=mesh_backend,
-        )
 
         if cfg.opt_selection == "open3DArap":
             # ``arapOpen3DOptimization`` (g2oBundleAdjustment.cc:1010-1104):
@@ -447,6 +459,23 @@ def deformation_optimization(
             if on_round is not None and i != cfg.n_optimizations:
                 on_round(i, state, weights)
             continue
+
+        # Snapshot mesh/rotations once per round (shared by every evaluation;
+        # the open3DArap branch above builds its own compact context).
+        data = deformable.make_pair_data(
+            kp1=kp1,
+            kp2=kp2,
+            depth1=d1,
+            depth2=d2,
+            valid=valid,
+            cam_params=cam_params,
+            T1w=T1w,
+            T2w=T2w,
+            p1=np.asarray(state.p1),
+            p2=np.asarray(state.p2),
+            mesh_backend=mesh_backend,
+            scale_priors=scale_priors,
+        )
 
         if cfg.opt_selection == "twoOptimizations" and cfg.weights_selection == "eigen":
             # ``EigenOptimization.h:30-63``: derivative-free LM over the

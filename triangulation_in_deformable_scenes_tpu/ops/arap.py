@@ -34,6 +34,7 @@ def _gather_nbr(p, nbr):
     return p[safe]
 
 
+@jax.jit
 def compute_rotations(p1, p2, nbr, nbr_mask, weights):
     """Batched ``computeR``: best-fit rotation p1-neighborhood -> p2.
 

@@ -13,6 +13,8 @@ pinhole uses the first four entries.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -95,9 +97,37 @@ _PROJECT = {KB8: kb8_project, PINHOLE: pinhole_project}
 _UNPROJECT = {KB8: kb8_unproject, PINHOLE: pinhole_unproject}
 
 
+@functools.partial(jax.jit, static_argnames=("kind",))
 def project(kind, params, p3d):
     return _PROJECT[kind](params, p3d)
 
 
+@functools.partial(jax.jit, static_argnames=("kind",))
 def unproject(kind, params, pix):
     return _UNPROJECT[kind](params, pix)
+
+
+def undistort_points(params, distortion, pix, iters: int = 5):
+    """Radial-tangential keypoint undistortion, ``cv::undistortPoints``
+    semantics with P = K (``Frame::undistortKeys``, Frame.cc:252-277).
+
+    ``distortion`` = (k1, k2, p1, p2[, k3]); the inverse distortion is the
+    standard fixed-point compensation iteration (OpenCV runs 5 rounds under
+    its default termination criteria). Returns undistorted pixels, same
+    shape as ``pix``.
+    """
+    fx, fy, cx, cy = params[0], params[1], params[2], params[3]
+    k1, k2, p1, p2 = distortion[0], distortion[1], distortion[2], distortion[3]
+    k3 = distortion[4] if len(distortion) > 4 else 0.0
+
+    x0 = (pix[..., 0] - cx) / fx
+    y0 = (pix[..., 1] - cy) / fy
+    x, y = x0, y0
+    for _ in range(iters):  # static trip count: unrolled under jit
+        r2 = x * x + y * y
+        icdist = 1.0 / (1.0 + ((k3 * r2 + k2) * r2 + k1) * r2)
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        x = (x0 - dx) * icdist
+        y = (y0 - dy) * icdist
+    return jnp.stack([x * fx + cx, y * fy + cy], axis=-1)

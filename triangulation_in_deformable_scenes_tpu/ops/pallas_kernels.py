@@ -207,9 +207,8 @@ def fused_search_for_initialization(
     best_d, best, second_d = best_d[:n1], best[:n1], second_d[:n1]
 
     ok = (best_d <= th) & (best_d < second_d * ratio)
-    # One-to-one conflict resolution (vnMatches21 bookkeeping), O(N1).
-    best_safe = jnp.where(ok, best, n2p)
-    col_min = jnp.full((n2p + 1,), BIG).at[best_safe].min(jnp.where(ok, best_d, BIG))
-    keep = ok & (best_d <= col_min[best_safe])
-    matches = jnp.where(keep, best, -1)
-    return matches.astype(jnp.int32), jnp.sum(keep.astype(jnp.int32))
+    # One-to-one conflict resolution (vnMatches21 bookkeeping; see
+    # matching._one_to_one for why this is a reduction, not a scatter).
+    from .matching import _one_to_one
+
+    return _one_to_one(best, best_d, ok, n2p)

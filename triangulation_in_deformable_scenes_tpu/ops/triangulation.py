@@ -15,6 +15,9 @@ separate mask function, mirroring ``Mapping::isValidParallax``
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from . import lie
@@ -189,12 +192,18 @@ _METHODS = {
 }
 
 
+@functools.partial(jax.jit, static_argnames=("method", "location"))
 def triangulate(xn1, xn2, T1w, T2w, method=NRSLAM, location=IN_RAYS):
-    """Dispatch mirroring ``useTriangulationMethod`` (Geometry.cc:216-230)."""
+    """Dispatch mirroring ``useTriangulationMethod`` (Geometry.cc:216-230).
+
+    Jitted with static method/location: on a tunneled TPU every eager
+    primitive pays a host round-trip, so the whole batch triangulation must
+    be one dispatch."""
     fn = _METHODS.get(method, triangulate_nrslam)
     return fn(xn1, xn2, T1w, T2w, location)
 
 
+@jax.jit
 def valid_parallax_mask(xn1, xn2, T1w, T2w, x3d_1, x3d_2, min_cos):
     """``Mapping::isValidParallax`` (Mapping.cc:351-364) as a batched mask.
 

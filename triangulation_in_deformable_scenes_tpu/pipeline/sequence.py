@@ -29,6 +29,7 @@ import numpy as np
 from ..config import Config
 from ..models import deformable, outer
 from ..ops import camera as cam_ops
+from ..ops import epipolar as epi_ops
 from ..ops import features as feat_ops
 from ..ops import lie
 from ..ops import matching as match_ops
@@ -70,6 +71,12 @@ class PairInitResult:
     d2: np.ndarray = None
     s1: float = 1.0
     s2: float = 1.0
+    # Pose-unknown mode: the RANSAC-recovered world-to-camera poses (None when
+    # the loader's ground-truth poses were used).
+    T1w_est: tuple = None
+    T2w_est: tuple = None
+    # Depth-scale prior (s1_0, info1, s2_0, info2) from the estimate's SE.
+    scale_priors: tuple = None
 
 
 class SequencePipeline:
@@ -95,13 +102,24 @@ class SequencePipeline:
 
     # ------------------------------------------------------------------
     def extract(self, gray: np.ndarray) -> feat_ops.Keypoints:
-        return feat_ops.extract(
+        kps = feat_ops.extract(
             gray,
             n_features=self.cfg.n_features,
             n_scales=self.cfg.n_scales,
             scale_factor=self.cfg.scale_factor,
             border_mask=self.border_mask,
         )
+        if self.cfg.distortion:
+            # Radial-tangential keypoint undistortion (Frame::undistortKeys,
+            # Frame.cc:252-277): downstream geometry/matching operate on the
+            # undistorted positions, like the reference's vKeys_.
+            und = cam_ops.undistort_points(
+                jnp.asarray(self.cfg.pinhole_params),
+                tuple(self.cfg.distortion),
+                jnp.asarray(kps.xy),
+            )
+            kps = kps._replace(xy=und)
+        return kps
 
     @staticmethod
     def depth_at(depth_im: np.ndarray, kp: np.ndarray) -> np.ndarray:
@@ -152,6 +170,40 @@ class SequencePipeline:
         xn2 = xn2 / jnp.linalg.norm(xn2, axis=-1, keepdims=True)
 
         inliers = np.ones(len(kp1), dtype=bool)
+        pose_free = T2w is None
+        T1w_est = T2w_est = None
+        if pose_free:
+            # Pose-unknown bootstrap (MonocularMapInitializer.cc:119-279):
+            # cluster-sampled RANSAC over batched 8-point hypotheses recovers
+            # T21 up to monocular scale; the depth-scale estimates below
+            # absorb the gauge, exactly as the reference's optimizable depth
+            # scales do.
+            import jax as _jax
+
+            if T1w is None:
+                T1w = (jnp.eye(3, dtype=FP), jnp.zeros(3, dtype=FP))
+            # Config parity: Epipolar.th is unset in some shipped yamls
+            # (cv::FileStorage reads 0.0); a zero threshold would zero the
+            # RANSAC consensus, so fall back to a permissive default.
+            epi_th = float(cfg.epipolar_th) if cfg.epipolar_th > 0 else 0.01
+            R21, t21, inl, _ = epi_ops.initialize_pose_free(
+                jnp.asarray(kp1), xn1, xn2, jnp.ones(len(kp1), bool),
+                _jax.random.PRNGKey(10), epipolar_th=epi_th,
+            )
+            # Resolve the monocular scale of t from the depth sensor: a
+            # provisional unit-baseline triangulation gives depths z_prov
+            # that scale linearly with |t|, so |t| = median(d / z_prov).
+            T2w_unit = lie.compose(R21, t21, *T1w)
+            x1p, _ = tri.triangulate(xn1, xn2, T1w, T2w_unit, method=tri.NRSLAM)
+            z_prov = np.asarray(lie.apply(*T1w, x1p))[:, 2]
+            d_prov = self.depth_at(depth_ref, kp1)
+            ok = np.asarray(inl) & (z_prov > 0) & (d_prov > 0)
+            if ok.sum() >= 8:
+                scale = float(np.median(d_prov[ok] / z_prov[ok]))
+                t21 = t21 * scale
+            T2w = lie.compose(R21, t21, *T1w)
+            inliers &= np.asarray(inl)
+            T1w_est, T2w_est = T1w, T2w
         if cfg.checks:
             # Epipolar filter with E from the KNOWN relative pose -- what the
             # reference's degenerate RANSAC loop evaluates 17 times
@@ -227,8 +279,16 @@ class SequencePipeline:
         sel = valid & (deg > cfg.min_cos)
         if sel.sum() == 0:
             sel = valid
-        s1 = float((d1[sel] / z1[sel]).mean())
-        s2 = float((d2[sel] / z2[sel]).mean())
+        r1 = d1[sel] / z1[sel]
+        r2 = d2[sel] / z2[sel]
+        s1, s2 = float(r1.mean()), float(r2.mean())
+        # Standard error of the scale estimate -> depth-scale prior info
+        # (see deformable.PairData; real-data scatter makes this a weak
+        # anchor, simulation-grade depth a strong one).
+        n_sel = max(len(r1), 1)
+        se1 = max(float(r1.std()) / np.sqrt(n_sel), 1e-6)
+        se2 = max(float(r2.std()) / np.sqrt(n_sel), 1e-6)
+        scale_priors = (s1, 1.0 / se1**2, s2, 1.0 / se2**2)
 
         return PairInitResult(
             True,
@@ -247,6 +307,9 @@ class SequencePipeline:
             d2=d2,
             s1=s1,
             s2=s2,
+            T1w_est=T1w_est,
+            T2w_est=T2w_est,
+            scale_priors=scale_priors,
         )
 
     # ------------------------------------------------------------------
@@ -266,13 +329,18 @@ class SequencePipeline:
         ref_depth = None
         ref_gray = None
 
-        for idx, rgb, depth, (R_wc, t_wc), ts in loader.frames(start, end, step):
+        for idx, rgb, depth, pose, ts in loader.frames(start, end, step):
             gray = to_grayscale(rgb)
             kps = self.extract(gray)
             self.frame_viz.draw_features(
                 np.asarray(kps.xy), gray, np.asarray(kps.valid), name="features"
             )
-            Tcw = lie.inverse(jnp.asarray(R_wc), jnp.asarray(t_wc))
+            # Loaders without trajectory ground truth yield pose None; the
+            # pair bootstrap then recovers it (pose-unknown initialization).
+            Tcw = None
+            if pose is not None and pose[0] is not None:
+                R_wc, t_wc = pose
+                Tcw = lie.inverse(jnp.asarray(R_wc), jnp.asarray(t_wc))
             if ref is None:
                 ref, ref_pose, ref_depth, ref_gray = kps, Tcw, depth, gray
                 self.frame_viz.set_reference_frame(np.asarray(kps.xy), gray)
@@ -296,8 +364,10 @@ class SequencePipeline:
                     init.kp2, gray, pairing, init.valid, name="triangulated"
                 )
 
+            T1w_use = init.T1w_est if init.T1w_est is not None else ref_pose
+            T2w_use = init.T2w_est if init.T2w_est is not None else Tcw
             return self._refine_and_report(
-                init, ref_pose, Tcw, journal_path, mesh_backend
+                init, T1w_use, T2w_use, journal_path, mesh_backend
             )
         return None
 
@@ -381,6 +451,7 @@ class SequencePipeline:
             ocfg,
             on_round=on_round,
             mesh_backend=mesh_backend,
+            scale_priors=init.scale_priors,
         )
 
         journal.block_header("FINAL MEASUREMENTS:")

@@ -122,9 +122,19 @@ class SimulationPipeline:
 
     @staticmethod
     def _initial_depth_scale(p, T, d, valid):
+        """Initial scale estimate s0 = mean(d/z) plus its standard error.
+
+        The mean mirrors ``KeyFrame::setInitialDepthScaleInSimulationImages``
+        (KeyFrame.cc:131-153); the standard error (scatter / sqrt(n)) is this
+        framework's addition -- it quantifies the estimate so the optimizer
+        can anchor the scale vertex with a statistically-derived information
+        (see deformable.PairData scale-prior docs).
+        """
         z = np.asarray(lie.apply(jnp.asarray(T[0]), jnp.asarray(T[1]), jnp.asarray(p)))[:, 2]
         v = np.asarray(valid, dtype=bool) & (np.asarray(d) != 0)
-        return float((np.asarray(d)[v] / z[v]).mean())
+        ratios = np.asarray(d)[v] / z[v]
+        se = float(ratios.std() / max(np.sqrt(len(ratios)), 1.0))
+        return float(ratios.mean()), se
 
     # ------------------------------------------------------------------
     def run(
@@ -143,8 +153,10 @@ class SimulationPipeline:
         p1, p2, valid, xn1, xn2 = self._triangulate(kp1, kp2, T1w, T2w, d1, d2)
         n_valid = int(valid.sum())
 
-        s1 = self._initial_depth_scale(p1, T1w, d1, valid)
-        s2 = self._initial_depth_scale(p2, T2w, d2, valid)
+        s1, se1 = self._initial_depth_scale(p1, T1w, d1, valid)
+        s2, se2 = self._initial_depth_scale(p2, T2w, d2, valid)
+        # SE floor keeps the prior information f32-safe when depths are exact.
+        scale_priors = (s1, 1.0 / max(se1, 1e-6) ** 2, s2, 1.0 / max(se2, 1e-6) ** 2)
 
         state = deformable.PairState(
             p1=jnp.asarray(p1),
@@ -219,6 +231,7 @@ class SimulationPipeline:
             ocfg,
             on_round=on_round,
             mesh_backend=self.mesh_backend,
+            scale_priors=scale_priors,
         )
 
         journal.block_header("FINAL MEASUREMENTS:")

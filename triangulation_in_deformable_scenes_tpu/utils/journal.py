@@ -99,8 +99,7 @@ def parse_journal(path: str) -> dict:
         for line in f:
             line = line.rstrip("\n")
             if line.endswith("MEASUREMENTS: ") or line.endswith("MEASUREMENTS:"):
-                current = line.replace("MEASUREMENTS:", "").strip() or "INITIAL"
-                current = line.split(" MEASUREMENTS")[0].strip()
+                current = line.split(" MEASUREMENTS")[0].strip() or "INITIAL"
                 blocks.setdefault(current, {})
                 continue
             if ":" not in line:
