@@ -214,3 +214,44 @@ def test_search_for_triangulation_epipolar():
     idx = np.nonzero(np.asarray(m) >= 0)[0]
     assert int(cnt) > 40
     np.testing.assert_array_equal(np.asarray(m)[idx], idx)
+
+
+def test_scene_median_depth_and_invariants():
+    """KeyFrame::computeSceneMedianDepth (KeyFrame.cc:231-244) + the debug
+    invariants Map::checkKeyFrame / Frame::checkAllMapPointsAreGood."""
+    from triangulation_in_deformable_scenes_tpu.pipeline.worldmap import (
+        KeyFrameData,
+        WorldMap,
+    )
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(11, 3)) * 0.02 + [0, 0, 0.5]
+    fx = fy = 100.0
+
+    def project(p3d):
+        return np.stack(
+            [fx * p3d[:, 0] / p3d[:, 2] + 160, fy * p3d[:, 1] / p3d[:, 2] + 120], axis=1
+        )
+
+    kp = project(pts)
+    kf = KeyFrameData(
+        kf_id=0, R_cw=np.eye(3), t_cw=np.zeros(3), kp=kp,
+        octave=np.zeros(len(pts), dtype=int), desc=np.zeros((len(pts), 256), dtype=np.int8),
+    )
+    # nth_element semantics: the size//2-th order statistic of camera depths
+    z = pts[:, 2]
+    assert kf.scene_median_depth(pts) == pytest.approx(np.sort(z)[len(z) // 2])
+
+    wm = WorldMap()
+    wm.insert_keyframe(kf)
+    for i, p in enumerate(pts):
+        mp = wm.insert_map_point(p)
+        wm.add_observation(0, mp, i)
+    wm.check_keyframe(0)
+    wm.check_all_map_points_are_good(kf, project)
+
+    # a corrupted point must trip the reprojection invariant
+    first_mp = next(iter(wm.kf_obs[0]))
+    wm.map_points[first_mp].position = wm.map_points[first_mp].position + 0.05
+    with pytest.raises(AssertionError):
+        wm.check_all_map_points_are_good(kf, project)

@@ -45,6 +45,15 @@ class KeyFrameData:
         """Camera center in world coordinates."""
         return -self.R_cw.T @ self.t_cw
 
+    def scene_median_depth(self, positions: np.ndarray) -> float:
+        """Median camera-frame depth over the given world points
+        (``KeyFrame::computeSceneMedianDepth``, KeyFrame.cc:231-244;
+        nth_element semantics: the size//2-th order statistic)."""
+        z = (np.asarray(positions) @ self.R_cw.T + self.t_cw)[:, 2]
+        if len(z) == 0:
+            return 0.0
+        return float(np.partition(z, len(z) // 2)[len(z) // 2])
+
 
 @dataclasses.dataclass
 class MapPointData:
@@ -201,6 +210,30 @@ class WorldMap:
     def get_global_transform(self, kf1: int, kf2: int):
         """Identity when unset, like ``Map::getGlobalKeyFramesTransformation``."""
         return self.global_transforms.get((kf1, kf2), (np.eye(3), np.zeros(3)))
+
+    def check_keyframe(self, kf_id: int) -> None:
+        """Observation-graph invariant (the reference's debug-only
+        ``Map::checkKeyFrame``, Map.h:142-167, shipped commented out): the
+        keyframe's observation dict references only registered map points,
+        with no duplicate indices."""
+        obs = self.kf_obs.get(kf_id, {})
+        assert len(set(obs.values())) == len(obs), "duplicate feature indices"
+        for mp_id in obs:
+            assert mp_id in self.map_points, f"observation of unknown map point {mp_id}"
+
+    def check_all_map_points_are_good(self, kf: "KeyFrameData", cam_project, chi2_max: float = 6.0):
+        """Reprojection-sanity invariant (``Frame::checkAllMapPointsAreGood``,
+        Frame.cc:399-415): every observed point reprojects within chi2_max
+        scaled by the pyramid information. ``cam_project(p3d[N,3]) -> [N,2]``."""
+        obs = self.kf_obs.get(kf.kf_id, {})
+        if not obs:
+            return
+        mp_ids = list(obs)
+        idx = np.array([obs[m] for m in mp_ids])
+        pos = np.stack([self.map_points[m].position for m in mp_ids])
+        proj = np.asarray(cam_project(pos @ kf.R_cw.T + kf.t_cw))
+        err = ((proj - kf.kp[idx]) ** 2).sum(-1) / (kf.scale_factor ** (2 * kf.octave[idx]))
+        assert (err < chi2_max).all(), f"map point reprojection over {chi2_max}: max {err.max():.3f}"
 
     def clone(self) -> "WorldMap":
         """Cheap snapshot: arrays are immutable-by-convention and shared."""
