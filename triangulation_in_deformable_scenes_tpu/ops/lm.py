@@ -184,14 +184,82 @@ def lm_optimize(
     tau: float = 1e-5,
     max_trials: int = 10,
 ) -> LMResult:
-    """Dense-normal-equation LM: ``build_system(state) -> (H, g)``."""
+    """Dense-normal-equation LM: ``build_system(state) -> (H, g)``.
 
-    def make_step(state):
-        H, g = build_system(state)
-        return (lambda lam: solve_damped_cholesky(H, g, lam)), g, jnp.max(jnp.diag(H))
+    SPECULATIVE trial evaluation: g2o's rejection schedule is deterministic
+    given (lam, nu) -- trial k uses lam_k = lam * nu^k * 2^(k(k-1)/2) -- so
+    instead of a sequential accept/reject while-loop (each trial a Cholesky
+    + a full cost evaluation; on hard inputs LM burns most of its
+    ``max_trials`` budget every iteration), ALL candidate damped solves and
+    their costs run as one vmapped batch per iteration and the first
+    accepted trial is selected. Bit-for-bit the same accept decisions and
+    lambda evolution as the sequential loop; ~10x fewer sequential device
+    steps on trial-heavy workloads. The matrix-free CG backend keeps the
+    sequential loop (``lm_optimize_general``) -- speculating 10 CG solves
+    would multiply its dominant cost instead of batching a cheap one.
+    """
+    F0_init = robust_cost(state0)
+    k = jnp.arange(max_trials)
+    ladder_pow = 2.0 ** (k * (k - 1) / 2.0)  # [T]: 1, 1, 2, 8, 64, ...
 
-    return lm_optimize_general(
-        make_step, robust_cost, apply_delta, state0, n_iterations, tau, max_trials
+    def iteration(carry, _):
+        state, lam, nu, F, stop = carry
+
+        def run(operand):
+            state, lam, nu, F = operand
+            H, g = build_system(state)
+            lam0 = jnp.where(lam < 0, tau * jnp.max(jnp.diag(H)), lam)
+            # trial k's damping: k==0 -> lam0; k rejections multiply by
+            # nu, 2nu, 4nu, ... -> lam0 * nu^k * 2^(k(k-1)/2).
+            lams = lam0 * (nu**k) * ladder_pow
+
+            deltas = jax.vmap(lambda l: solve_damped_cholesky(H, g, l))(lams)  # [T, dim]
+            cands = jax.vmap(lambda d: apply_delta(state, d))(deltas)
+            F1s = jax.vmap(robust_cost)(cands)  # [T]
+            scales = jnp.einsum("td,td->t", deltas, lams[:, None] * deltas - g[None, :]) + TINY
+            rhos = (F - F1s) / scales
+            oks = (rhos > 0) & jnp.isfinite(F1s)
+
+            any_ok = jnp.any(oks)
+            first = jnp.argmax(oks)  # first accepted trial (argmax of bool)
+            rho = rhos[first]
+            factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+            # Sequential-equivalent (lam, nu) evolution: k rejections then an
+            # acceptance leave lam = lams[k] * factor and nu = 2; a full
+            # failure leaves lam = lams[T-1] * nu_final (irrelevant: stop).
+            lam1 = jnp.where(any_ok, lams[first] * factor, lams[max_trials - 1] * nu * 2.0 ** (max_trials - 1))
+            nu1 = jnp.where(any_ok, 2.0, nu * 2.0**max_trials)
+            state1 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(any_ok, b[first], a), state, cands
+            )
+            F1 = jnp.where(any_ok, F1s[first], F)
+            # g2o ends the optimization when an iteration cannot find any
+            # accepted step.
+            return state1, lam1, nu1, F1, jnp.logical_not(any_ok), any_ok
+
+        def skip(operand):
+            state, lam, nu, F = operand
+            return state, lam, nu, F, jnp.bool_(True), jnp.bool_(False)
+
+        state1, lam1, nu1, F1, stop1, accepted = jax.lax.cond(
+            stop, skip, run, (state, lam, nu, F)
+        )
+        return (state1, lam1, nu1, F1, jnp.logical_or(stop, stop1)), accepted
+
+    init = (
+        state0,
+        jnp.array(-1.0, dtype=FP),
+        jnp.array(2.0, dtype=FP),
+        F0_init,
+        jnp.bool_(False),
+    )
+    (state, lam, _, F, _), accepted = jax.lax.scan(iteration, init, None, length=n_iterations)
+    return LMResult(
+        state=state,
+        cost=F,
+        initial_cost=F0_init,
+        lam=lam,
+        n_accepted=jnp.sum(accepted.astype(jnp.int32)),
     )
 
 
