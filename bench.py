@@ -256,6 +256,58 @@ def big_problem_throughput(cfg, n_pairs=2600, n_iters=10):
     }
 
 
+def serving_throughput(cfg, batch=16, n_iters=25):
+    """Multi-pair serving: refine `batch` keyframe pairs concurrently
+    (deformable.solve_pairs vmaps the whole LM solve over the pair axis --
+    the reference processes one pair per process)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from triangulation_in_deformable_scenes_tpu.models import deformable
+    from triangulation_in_deformable_scenes_tpu.precision import FP
+
+    rng = np.random.default_rng(0)
+    n = 128
+    datas, states = [], []
+    for _ in range(batch):
+        p1 = rng.normal(size=(n, 3)) * 0.05 + [0, 0, 0.2]
+        p2 = p1 + rng.normal(scale=0.005, size=(n, 3))
+        kp = rng.uniform(100, 600, size=(n, 2))
+        d = deformable.make_pair_data(
+            kp1=kp, kp2=kp, depth1=p1[:, 2], depth2=p2[:, 2], valid=np.ones(n, bool),
+            cam_params=np.array([458.654, 457.296, 367.215, 248.375, 0, 0, 0, 0]),
+            T1w=(np.eye(3), np.zeros(3)), T2w=(np.eye(3), np.zeros(3)), p1=p1, p2=p2,
+            scale_priors=(1.0, 1e6, 1.0, 1e6), degree_bucket=32,
+        )
+        if d.nbr.shape[1] != 32:  # keep the batch homogeneous
+            continue
+        datas.append(d)
+        states.append(deformable.PairState(
+            p1=jnp.asarray(p1, FP), p2=jnp.asarray(p2, FP),
+            s1=jnp.asarray(1.0, FP), s2=jnp.asarray(1.0, FP),
+            Rg=jnp.eye(3, dtype=FP), tg=jnp.zeros(3, dtype=FP)))
+    batch = len(datas)
+    bd = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *datas)
+    bs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    hyper = deformable.Hyper(
+        rep_w=jnp.asarray(1.0, FP), arap_w=jnp.asarray(1e-4, FP),
+        depth_sigma=jnp.asarray(0.003, FP), global_w=jnp.asarray(50.0, FP),
+        alpha=jnp.asarray(1.0, FP), beta=jnp.asarray(1.0, FP))
+    run = lambda: deformable.solve_pairs("KB8", bd, hyper, bs, n_iters).cost.block_until_ready()
+    run()
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        run()
+    dt = (time.perf_counter() - t0) / reps
+    return {
+        "serving_batch": batch,
+        "serving_pairs_per_sec": round(batch / dt, 2),
+        "serving_lm_iters_per_sec": round(batch * n_iters / dt, 1),
+    }
+
+
 def pallas_matching(n=2048):
     """Compiled fused kernel vs the XLA path on the matching problem."""
     import numpy as np
@@ -384,6 +436,7 @@ def main():
     extras = {}
     extras.update(phase_timings(cfg))
     extras.update(big_problem_throughput(cfg))
+    extras.update(serving_throughput(cfg))
     extras.update(pallas_matching())
     extras.update(virtual_scaling_check())
 

@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -177,3 +178,24 @@ def test_huber_downweights_outliers():
         deformable._rep_errors("KB8", data_out, res.state.p1, data.R1w, data.t1w, data_out.kp1)
     )
     assert np.linalg.norm(e[0]) > 50.0
+
+
+def test_solve_pairs_batched_matches_single():
+    """The multi-pair serving path (vmap over the pair axis) must reproduce
+    the single-pair solves."""
+    data_a, state_a, hyper, _ = make_problem(seed=0)
+    data_b, state_b, _, _ = make_problem(seed=1)
+
+    # The two problems share shapes (same n_side); mesh degree buckets match.
+    assert data_a.nbr.shape == data_b.nbr.shape
+    batched_data = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), data_a, data_b)
+    batched_state = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), state_a, state_b)
+
+    res = deformable.solve_pairs("KB8", batched_data, hyper, batched_state, n_iterations=8)
+    ra = deformable.solve_pair("KB8", data_a, hyper, state_a, n_iterations=8)
+    rb = deformable.solve_pair("KB8", data_b, hyper, state_b, n_iterations=8)
+    np.testing.assert_allclose(float(res.cost[0]), float(ra.cost), rtol=2e-3)
+    np.testing.assert_allclose(float(res.cost[1]), float(rb.cost), rtol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(res.state.p1[0]), np.asarray(ra.state.p1), rtol=1e-2, atol=1e-4
+    )

@@ -65,3 +65,33 @@ def test_lm_jit_compatible():
 
     res = solve()
     assert np.isfinite(float(res.cost))
+
+
+def test_speculative_trials_match_sequential_policy():
+    """The dense backend's speculative trial batch must follow the same
+    accept/damping policy as the sequential loop (lm_optimize_general with
+    the dense make_step)."""
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(30, 8))
+    b = rng.normal(size=(30,))
+
+    def build_system(x):
+        r = jnp.asarray(A) @ x - jnp.asarray(b)
+        J = jnp.asarray(A)
+        return J.T @ J, J.T @ r
+
+    def cost(x):
+        r = jnp.asarray(A) @ x - jnp.asarray(b)
+        return jnp.dot(r, r)
+
+    x0 = jnp.zeros(8)
+    spec = lm.lm_optimize(build_system, cost, lambda x, d: x + d, x0, n_iterations=12)
+
+    def make_step(state):
+        H, g = build_system(state)
+        return (lambda l: lm.solve_damped_cholesky(H, g, l)), g, jnp.max(jnp.diag(H))
+
+    seq = lm.lm_optimize_general(make_step, cost, lambda x, d: x + d, x0, n_iterations=12)
+    np.testing.assert_allclose(float(spec.cost), float(seq.cost), rtol=1e-4, atol=1e-6)
+    assert int(spec.n_accepted) == int(seq.n_accepted)
+    np.testing.assert_allclose(np.asarray(spec.state), np.asarray(seq.state), rtol=1e-3, atol=1e-5)

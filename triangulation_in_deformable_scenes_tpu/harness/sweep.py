@@ -121,6 +121,7 @@ def run_sweep(
     seed: int = 0,
     mesh_backend: str = "auto",
     progress=None,
+    committed_parity: bool = True,
 ):
     """Run every condition; returns [(condition, SimulationResult)].
 
@@ -138,6 +139,23 @@ def run_sweep(
             triangulation_location=SEED_ALIASES.get(cond.triangulation, cond.triangulation),
             opt_model=cond.model,
         )
+        # Committed-sweep-time semantics: the reference's stored results were
+        # produced with Triangulation.method=DepthMeasurement, unit depth
+        # scales, and per-model depth noise -- the ARAP_depth_{1,3,8}mm
+        # InRays initial errors equal E|N(0, sigma_d)| exactly (1.2 / 2.67 /
+        # 6.6 mm) which is impossible under the shipped Simulation.yaml's
+        # NRSLAM + corrupted scales. The sweep reproduces those conditions.
+        if committed_parity:
+            from ..models.deformable import model_depth_sigma
+
+            sigma = model_depth_sigma(cond.model)
+            cfg = dataclasses.replace(
+                cfg,
+                triangulation_method="DepthMeasurement",
+                sim_depth_scale_c1=1.0,
+                sim_depth_scale_c2=1.0,
+                sim_depth_error=(sigma * 1000.0) if sigma is not None else cfg.sim_depth_error,
+            )
         of, mf, generated = _fixture_points(cond, database_root, rng)
         if generated is not None:
             tmp = tempfile.mkdtemp(prefix="tids_sweep_")

@@ -661,6 +661,33 @@ def solve_pair(
     return res
 
 
+@functools.partial(jax.jit, static_argnames=("cam_kind", "n_iterations", "spec"))
+def solve_pairs(
+    cam_kind: str,
+    data: PairData,
+    hyper: Hyper,
+    state0: PairState,
+    n_iterations: int,
+    spec: ModelSpec = ModelSpec(),
+) -> lm_ops.LMResult:
+    """Batched multi-pair refinement: every array carries a leading pair axis.
+
+    The reference processes exactly one keyframe pair per run
+    (``g2oBundleAdjustment.cc:640-641`` loops over pairs sequentially); a
+    serving deployment refines many pairs (e.g. many endoscopy sequences)
+    concurrently, so the whole LM solve -- including the speculative trial
+    batch -- is vmapped over the pair axis. Pairs must share the padded
+    shapes (N, K); pad ``valid``/``nbr_mask`` to batch heterogeneous pairs.
+    ``hyper`` may be a single Hyper (shared weights) or carry a leading pair
+    axis as well.
+    """
+    hyper_axis = None if jnp.ndim(hyper.rep_w) == 0 else 0
+    return jax.vmap(
+        lambda d, h, s: solve_pair(cam_kind, d, h, s, n_iterations, spec),
+        in_axes=(0, hyper_axis, 0),
+    )(data, hyper, state0)
+
+
 def make_pair_data(
     kp1,
     kp2,
