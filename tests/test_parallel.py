@@ -70,3 +70,29 @@ def test_sharded_solve_runs_and_matches_replicated():
     np.testing.assert_allclose(
         np.asarray(one_sharded.state.p1), np.asarray(one_local.state.p1), rtol=5e-3, atol=1e-4
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_pair_sharded_serving_matches_unsharded():
+    """Data-parallel serving: a batch of 8 pairs sharded one-per-device must
+    reproduce the unsharded batched solve up to partition-dependent fusion
+    rounding (no cross-pair math)."""
+    problems = [make_problem(n_side=4, seed=s) for s in range(8)]
+    datas = [p[0] for p in problems]
+    states = [p[1] for p in problems]
+    hyper = problems[0][2]
+    bd = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *datas)
+    bs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+    mesh = dist.make_serving_mesh(jax.devices()[:8])
+    sd, ss = dist.shard_pairs(mesh, bd, bs)
+    assert len(sd.kp1.sharding.device_set) == 8
+
+    res_sharded = deformable.solve_pairs("KB8", sd, hyper, ss, n_iterations=5)
+    res_local = deformable.solve_pairs("KB8", bd, hyper, bs, n_iterations=5)
+    np.testing.assert_allclose(
+        np.asarray(res_sharded.state.p1), np.asarray(res_local.state.p1), rtol=1e-3, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sharded.cost), np.asarray(res_local.cost), rtol=1e-3
+    )

@@ -43,11 +43,44 @@ from ..models import deformable
 from ..ops import lm as lm_ops
 
 POINTS_AXIS = "points"
+PAIRS_AXIS = "pairs"
 
 
 def make_mesh(devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (POINTS_AXIS,))
+
+
+def make_serving_mesh(devices=None) -> Mesh:
+    """1-D mesh over the keyframe-PAIR axis (data-parallel serving)."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (PAIRS_AXIS,))
+
+
+def shard_pairs(mesh: Mesh, data: deformable.PairData, state: deformable.PairState,
+                hyper: deformable.Hyper | None = None):
+    """Place a BATCH of pairs (leading pair axis on every array) over the
+    mesh's pairs axis; each device refines its own pairs independently.
+
+    This is the scale-out path for serving many sequences at once: the
+    batched solve (``deformable.solve_pairs``) is embarrassingly parallel
+    along the pair axis, so XLA partitions it with zero inter-device
+    collectives -- linear scaling by construction (the reference runs one
+    pair per OS process instead, run_real_experiments.py:43-76).
+    ``hyper`` is sharded too when it carries a leading pair axis (per-pair
+    weights), otherwise pass it separately / replicated.
+    """
+    b = data.kp1.shape[0]
+
+    def place(x):
+        x = jnp.asarray(x)
+        spec = P(PAIRS_AXIS, *([None] * (x.ndim - 1))) if (x.ndim >= 1 and x.shape[0] == b) else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    out = (jax.tree_util.tree_map(place, data), jax.tree_util.tree_map(place, state))
+    if hyper is not None:
+        out = out + (jax.tree_util.tree_map(place, hyper),)
+    return out
 
 
 def _pointwise_spec(ndim: int) -> P:
