@@ -44,6 +44,7 @@ def test_fast_score_agrees_with_opencv():
     assert cv_only.sum() < 0.05 * max(both.sum(), 1)
 
 
+@pytest.mark.slow
 def test_extract_returns_valid_padded_keypoints():
     im = synthetic_image(seed=1)
     kps = features.extract(im, n_features=300, n_scales=4, scale_factor=1.2)

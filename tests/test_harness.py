@@ -53,6 +53,7 @@ def test_result_dir_layout():
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference data not mounted")
+@pytest.mark.slow
 def test_sweep_runs_and_aggregates(tmp_path):
     base = load_config(os.path.join(REF, "Simulation.yaml"))
     base = dataclasses.replace(

@@ -58,6 +58,7 @@ def _write_drunkard_level(level_dir, rng):
         f.write("".join(lines))
 
 
+@pytest.mark.slow
 def test_real_sweep_produces_committed_layout(tmp_path):
     """run_real_sweep writes the committed result-directory shape
     Experiments/Drunkard/<pair>/<tri>/<level>/<checks>/<n>/Experiment.txt."""

@@ -49,6 +49,7 @@ def test_arap_deform_identity_without_drag():
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference data not mounted")
 @pytest.mark.parametrize("selection,wsel", [("open3DArap", "nlopt"), ("twoOptimizations", "eigen")])
+@pytest.mark.slow
 def test_pipeline_alternative_selections(selection, wsel, tmp_path):
     cfg = load_config(os.path.join(REF, "Simulation.yaml"))
     cfg = dataclasses.replace(

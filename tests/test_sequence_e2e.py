@@ -131,6 +131,7 @@ def test_loader_reads_dataset(synthetic_dataset):
     np.testing.assert_allclose(t, [0.12, 0.02, 0.0])
 
 
+@pytest.mark.slow
 def test_sequence_pipeline_end_to_end(synthetic_dataset, tmp_path):
     loader = DrunkardLoader(str(synthetic_dataset), str(synthetic_dataset / "pose.txt"))
     pipe = SequencePipeline(seq_config())
@@ -214,6 +215,7 @@ def synthetic_step_dataset(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_sequence_pipeline_pose_free(synthetic_step_dataset, tmp_path):
     """Pose-unknown initialization end-to-end: the pipeline recovers the
     relative pose via RANSAC-8-point (MonocularMapInitializer.cc:119-279)

@@ -42,6 +42,7 @@ def fast_cfg(**overrides):
     return dataclasses.replace(cfg, **defaults)
 
 
+@pytest.mark.slow
 def test_small_rigid_fixture_improves(tmp_path):
     cfg = fast_cfg()
     pipe = SimulationPipeline(cfg, seed=0)
@@ -60,6 +61,7 @@ def test_small_rigid_fixture_improves(tmp_path):
     assert res.final.av_error <= res.initial.av_error * 1.15
 
 
+@pytest.mark.slow
 def test_journal_format_and_blocks(tmp_path):
     cfg = fast_cfg(n_optimizations=2)
     path = str(tmp_path / "exp.txt")
@@ -85,6 +87,7 @@ def test_journal_format_and_blocks(tmp_path):
     assert abs(ref_blocks["FINAL"]["Av. error"] - 1.11002) < 1e-4
 
 
+@pytest.mark.slow
 def test_discrepancy_principle_drives_sigma_toward_noise(tmp_path):
     """The outer weight search scores by log^2(sigma_px): the residual pixel
     deviation should end in the vicinity of the injected 1px noise rather

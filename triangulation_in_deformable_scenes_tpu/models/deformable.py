@@ -331,6 +331,11 @@ def robust_cost(
     ed2 = _depth_errors(data, state.p2, state.s2, data.R2w, data.t2w, data.depth2, spec.depth)
     cost_depth = jnp.sum(vm * info_d * (ed1 * ed1 + ed2 * ed2))
 
+    # ARAP info = arap_w * n_triangles^2 (g2oBundleAdjustment.cc:945-948).
+    # The reference also computes a per-vertex depth-based inverse uncertainty
+    # (getInvUncertainty, g2oBundleAdjustment.cc:887,1106-1135) but its
+    # multiplication into the info is commented out at :948 -- dead
+    # computation, intentionally not ported.
     info_a = hyper.arap_w * data.ntri * data.ntri
     E = _arap_energies(data, state, spec, hyper)
     cost_arap = jnp.sum(info_a * E * E)
@@ -697,6 +702,13 @@ def solve_pairs(
     shapes (N, K); pad ``valid``/``nbr_mask`` to batch heterogeneous pairs.
     ``hyper`` may be a single Hyper (shared weights) or carry a leading pair
     axis as well.
+
+    Memory note: the dense backend materializes the Jacobian J
+    [R, 6N+8] per pair (R = N*(6+K); ~40 MB f32 at N=240, K=32 -- see
+    ``build_system``), and vmap multiplies that by the batch size. Near
+    ``DENSE_DIM_LIMIT`` (N~680) J is ~400 MB per pair: cap the batch or
+    shard it over a pairs mesh (``parallel.dist.shard_pairs``) before
+    batching large pairs.
     """
     hyper_axis = None if jnp.ndim(hyper.rep_w) == 0 else 0
     return jax.vmap(

@@ -283,6 +283,13 @@ def nm_weight_search_device(
             vm * (jnp.linalg.norm(res.state.p1 - state0.p1, axis=-1)
                   + jnp.linalg.norm(res.state.p2 - state0.p2, axis=-1))
         ) / n_valid
+        # Caveat (documented, accepted): ``disp`` is measured from THIS
+        # round's snapshot ``state0``, so objective values compared across
+        # outer rounds (the monotone acceptance in refine_map) are not
+        # strictly commensurable in their tie-break component. The 1e-3
+        # epsilon keeps the term orders of magnitude below any real
+        # discrepancy difference; it only ever decides genuine ties, where
+        # either choice is acceptable.
         f = f + 1e-3 * disp / d_scale
         return jnp.where(jnp.isfinite(f), f, jnp.inf).astype(dtype)
 

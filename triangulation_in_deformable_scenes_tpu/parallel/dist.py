@@ -69,17 +69,44 @@ def shard_pairs(mesh: Mesh, data: deformable.PairData, state: deformable.PairSta
     pair per OS process instead, run_real_experiments.py:43-76).
     ``hyper`` is sharded too when it carries a leading pair axis (per-pair
     weights), otherwise pass it separately / replicated.
+
+    Contract (validated): every leaf of ``data`` and ``state`` must carry the
+    leading pair axis of size b, and b must divide evenly over the mesh's
+    pairs axis (pad the batch by repeating a pair and masking its result if
+    it doesn't). ``hyper`` leaves are per-pair iff 1-D of length b; scalars
+    are replicated.
     """
     b = data.kp1.shape[0]
+    n_dev = mesh.devices.size
+    if b % n_dev != 0:
+        raise ValueError(
+            f"pair batch size {b} is not divisible by the {n_dev}-device "
+            f"'{PAIRS_AXIS}' mesh axis; pad the pair batch to a multiple"
+        )
 
-    def place(x):
+    def place_batched(path, x):
         x = jnp.asarray(x)
-        spec = P(PAIRS_AXIS, *([None] * (x.ndim - 1))) if (x.ndim >= 1 and x.shape[0] == b) else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        if x.ndim < 1 or x.shape[0] != b:
+            raise ValueError(
+                f"shard_pairs: leaf {jax.tree_util.keystr(path)} has shape "
+                f"{x.shape}; every data/state leaf must carry the leading "
+                f"pair axis of size {b} (stack the per-pair values)"
+            )
+        return jax.device_put(
+            x, NamedSharding(mesh, P(PAIRS_AXIS, *([None] * (x.ndim - 1))))
+        )
 
-    out = (jax.tree_util.tree_map(place, data), jax.tree_util.tree_map(place, state))
+    out = (
+        jax.tree_util.tree_map_with_path(place_batched, data),
+        jax.tree_util.tree_map_with_path(place_batched, state),
+    )
     if hyper is not None:
-        out = out + (jax.tree_util.tree_map(place, hyper),)
+        def place_hyper(x):
+            x = jnp.asarray(x)
+            spec = P(PAIRS_AXIS) if (x.ndim == 1 and x.shape[0] == b) else P()
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        out = out + (jax.tree_util.tree_map(place_hyper, hyper),)
     return out
 
 

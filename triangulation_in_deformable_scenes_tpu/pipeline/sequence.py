@@ -184,7 +184,11 @@ class SequencePipeline:
                 T1w = (jnp.eye(3, dtype=FP), jnp.zeros(3, dtype=FP))
             # Config parity: Epipolar.th is unset in some shipped yamls
             # (cv::FileStorage reads 0.0); a zero threshold would zero the
-            # RANSAC consensus, so fall back to a permissive default.
+            # RANSAC consensus, so fall back to a permissive default. 0.01 rad
+            # sits between the two values the reference ever ships for the
+            # angular epipolar test (0.002 strict in Simulation.yaml:32, 0.5
+            # loose in Drunkard.yaml:29) -- strict enough to reject gross
+            # outliers, loose enough to keep a consensus on noisy endoscopy.
             epi_th = float(cfg.epipolar_th) if cfg.epipolar_th > 0 else 0.01
             R21, t21, inl, _ = epi_ops.initialize_pose_free(
                 jnp.asarray(kp1), xn1, xn2, jnp.ones(len(kp1), bool),
@@ -248,6 +252,9 @@ class SequencePipeline:
         d1 = self.depth_at(depth_ref, kp1)
         d2 = self.depth_at(depth_cur, kp2)
         valid &= (d1 > 0) & (d2 > 0)
+        # Reference quirk kept verbatim: the mapping layer rejects keypoints
+        # outside the fixed (0.1, 1500) px box regardless of the actual image
+        # size (Mapping.cc:197-199).
         valid &= (kp1 > 0.1).all(-1) & (kp1 < 1500).all(-1)
         valid &= (kp2 > 0.1).all(-1) & (kp2 < 1500).all(-1)
 
