@@ -1,0 +1,76 @@
+"""Block-sparse Gauss-Newton assembly vs the dense reference operator.
+
+``models/block_system.py`` assembles H = J^T J in ELLPACK block form using
+the (i, j)-symmetry of the mesh-edge energies; these tests pin it against the
+dense ``deformable.build_system`` H (itself pinned against g2o semantics by
+the solver e2e tests) for every model spec in the family.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_deformable import make_problem
+from triangulation_in_deformable_scenes_tpu.models import block_system, deformable
+
+
+SPECS = [
+    ("ARAP", deformable.MODELS["ARAP"]),
+    ("ARAP_NoGlobal", deformable.MODELS["ARAP_NoGlobal"]),
+    ("ARAP_OneSet", deformable.MODELS["ARAP_OneSet"]),
+    ("ARAP_not_scaled_depth", deformable.MODELS["ARAP_not_scaled_depth"]),
+    ("ARAP_depth_onlyTriang", deformable.MODELS["ARAP_depth_onlyTriang"]),
+    ("ARAP_squared_depth", deformable.MODELS["ARAP_squared_depth"]),
+    ("Elastic", deformable.MODELS["Elastic"]),
+    ("HyperElasticOdgen", deformable.MODELS["HyperElasticOdgen"]),
+]
+
+
+@pytest.mark.parametrize("name,spec", SPECS, ids=[s[0] for s in SPECS])
+def test_block_matvec_matches_dense(name, spec):
+    data, state0, hyper, _ = make_problem(n_side=4)
+    n = state0.p1.shape[0]
+    dim = 6 * n + 8
+
+    H, g = deformable.build_system("KB8", data, hyper, state0, spec)
+    sys = block_system.build_block_system("KB8", data, hyper, state0, spec)
+
+    np.testing.assert_allclose(
+        np.asarray(block_system.flat_gradient(sys)), np.asarray(g), rtol=2e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(block_system.diag_of(sys)), np.asarray(jnp.diag(H)), rtol=2e-4, atol=1e-7
+    )
+
+    rng = np.random.default_rng(0)
+    scale = max(float(jnp.max(jnp.abs(H))), 1.0)
+    for _ in range(3):
+        v = jnp.asarray(rng.normal(size=(dim,)).astype(np.float32))
+        hv_dense = H @ v + 0.5 * v
+        hv_block = block_system.block_matvec(sys, data.nbr, v, 0.5)
+        np.testing.assert_allclose(
+            np.asarray(hv_block), np.asarray(hv_dense), rtol=2e-4, atol=2e-5 * scale
+        )
+
+
+def test_block_jacobi_is_exact_on_decoupled_dims():
+    """On the global 8x8 block the preconditioner must invert exactly."""
+    data, state0, hyper, _ = make_problem(n_side=4)
+    sys = block_system.build_block_system("KB8", data, hyper, state0)
+    n = state0.p1.shape[0]
+    lam = 0.1
+    apply_m = block_system.block_jacobi_apply(sys, lam)
+    r = jnp.zeros((6 * n + 8,)).at[6 * n :].set(jnp.arange(1.0, 9.0))
+    x = apply_m(r)
+    expect = np.linalg.solve(np.asarray(sys.Hg) + lam * np.eye(8), np.arange(1.0, 9.0))
+    np.testing.assert_allclose(np.asarray(x[6 * n :]), expect, rtol=1e-5)
+    assert float(jnp.abs(x[: 6 * n]).max()) == 0.0
+
+
+def test_pcg_flex_solves_spd_system():
+    rng = np.random.default_rng(1)
+    A0 = rng.normal(size=(40, 40))
+    A = jnp.asarray(A0 @ A0.T + 40 * np.eye(40), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(40,)), jnp.float32)
+    x = block_system.pcg_flex(lambda v: A @ v, b, lambda r: r / jnp.diag(A), 100, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(A @ x), np.asarray(b), rtol=1e-3, atol=1e-3)

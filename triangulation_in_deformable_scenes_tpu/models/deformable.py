@@ -605,8 +605,12 @@ def assemble_diag(
     state: PairState,
     spec: ModelSpec = ModelSpec(),
 ):
-    """diag(J^T J) without materializing H -- the Jacobi preconditioner of
-    the matrix-free/distributed solve path."""
+    """diag(J^T J) without materializing H, from per-edge scatter blocks.
+
+    Retained as an independent oracle for the assembled operator (the live
+    large-N path gets its diagonal from ``block_system.diag_of``, whose
+    block assembly is structurally different; the two are cross-checked in
+    tests/test_parallel.py and tests/test_block_system.py)."""
     n = state.p1.shape[0]
     dim = _tangent_dim(n)
     diag = jnp.zeros((dim,), dtype=state.p1.dtype)
@@ -629,9 +633,11 @@ def assemble_diag(
 # CG side.
 DENSE_DIM_LIMIT = 4096
 
-# CG iteration budget for the matrix-free path (fixed trip count; Jacobi
-# preconditioned; enough for the damped systems this problem produces).
+# CG iteration cap for the block-sparse PCG path. Block-Jacobi
+# preconditioning plus the early tolerance exit (models/block_system.pcg_flex)
+# means typical damped trials converge well under the cap.
 CG_ITERS = 64
+CG_RTOL = 1e-2
 
 
 @functools.partial(jax.jit, static_argnames=("cam_kind", "n_iterations", "spec"))
@@ -646,23 +652,15 @@ def solve_pair(
     """One ``arapOptimization`` inner solve: n_iterations of LM.
 
     Backend dispatch is automatic on the (static) problem size: dense
-    equilibrated Cholesky below ``DENSE_DIM_LIMIT`` tangent dims, matrix-free
-    Jacobi-PCG above (same damping loop either way, ``ops/lm.py``).
+    equilibrated Cholesky below ``DENSE_DIM_LIMIT`` tangent dims, block-sparse
+    ELLPACK assembly + block-Jacobi PCG above (same damping loop either way,
+    ``ops/lm.py``; system assembly in ``models/block_system.py``).
     """
+    from . import block_system as bs_
+
     n = state0.p1.shape[0]
     if _tangent_dim(n) > DENSE_DIM_LIMIT:
-        def residual_at(state):
-            def f(delta):
-                return residual_vector(cam_kind, data, hyper, apply_delta(state, delta), spec)
-
-            return f
-
-        make_step = lm_ops.make_cg_step(
-            residual_at,
-            lambda s: assemble_diag(cam_kind, data, hyper, s, spec),
-            _tangent_dim(n),
-            CG_ITERS,
-        )
+        make_step = bs_.make_block_step(cam_kind, data, hyper, spec, CG_ITERS, CG_RTOL)
         res = lm_ops.lm_optimize_general(
             make_step,
             robust_cost=lambda s: robust_cost(cam_kind, data, hyper, s, spec),

@@ -16,8 +16,9 @@ jittable solver:
   the solution is polished with one iterative-refinement step (see
   ``precision.py`` -- TPUs have no f64 hardware, and the equilibrated +
   refined f32 solve recovers the accuracy an unscaled f64 factorization
-  gives at these condition numbers). The distributed/CG path for large
-  problems lives in ``parallel/``.
+  gives at these condition numbers). The block-sparse PCG backend for
+  large problems lives in ``models/block_system.py``; the sharded wiring in
+  ``parallel/``.
 
 The caller provides three pure functions over an opaque state pytree, so this
 file knows nothing about cameras or ARAP:
@@ -67,33 +68,6 @@ class LMResult(NamedTuple):
     n_accepted: jnp.ndarray
 
 
-def pcg(matvec: Callable, b, M_inv, iters: int):
-    """Jacobi-preconditioned CG with a fixed trip count (jit/shard-friendly).
-
-    Used by the matrix-free LM path: dot products reduce across landmark
-    shards as psums inserted by XLA; no dense system is ever materialized.
-    """
-    x0 = jnp.zeros_like(b)
-    r0 = b
-    z0 = M_inv * r0
-    p0 = z0
-
-    def body(_, carry):
-        x, r, z, p = carry
-        Ap = matvec(p)
-        rz = jnp.dot(r, z)
-        alpha = rz / (jnp.dot(p, Ap) + TINY)
-        x1 = x + alpha * p
-        r1 = r - alpha * Ap
-        z1 = M_inv * r1
-        beta = jnp.dot(r1, z1) / (rz + TINY)
-        p1 = z1 + beta * p
-        return (x1, r1, z1, p1)
-
-    x, *_ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, p0))
-    return x
-
-
 def lm_optimize_general(
     make_step: Callable,
     robust_cost: Callable,
@@ -109,7 +83,8 @@ def lm_optimize_general(
     returns ``solve(lam) -> delta`` (the damped-system solve), the gradient
     ``g`` (for the gain ratio), and ``diag_max`` (for g2o's initial-lambda
     rule lambda0 = tau * max diag H). Dense-Cholesky and matrix-free-CG
-    backends plug in here (``lm_optimize`` / ``make_cg_step``).
+    backends plug in here (``lm_optimize`` /
+    ``models/block_system.make_block_step``).
     """
     F0_init = robust_cost(state0)
 
@@ -261,36 +236,3 @@ def lm_optimize(
         lam=lam,
         n_accepted=jnp.sum(accepted.astype(jnp.int32)),
     )
-
-
-def make_cg_step(
-    residual_at: Callable,
-    diag_fn: Callable,
-    dim: int,
-    cg_iters: int,
-) -> Callable:
-    """Matrix-free backend: ``residual_at(state) -> (delta -> r(delta))``.
-
-    Hv = J^T (J v) via jvp+vjp of the weighted-residual map composed with the
-    retraction; Jacobi preconditioner from the exact diag(J^T J)
-    (``diag_fn(state)``). This is how the landmark-sharded multi-chip solver
-    and the large-N single-chip path avoid materializing H (dim^2 floats).
-    """
-
-    def make_step(state):
-        f = residual_at(state)
-        zero = jnp.zeros((dim,), dtype=FP)
-        r0, jvp_lin = jax.linearize(f, zero)
-        _, vjp = jax.vjp(f, zero)
-        g = vjp(r0)[0]
-        diag = diag_fn(state)
-
-        def solve(lam):
-            def mv(v):
-                return vjp(jvp_lin(v))[0] + lam * v
-
-            return pcg(mv, -g, 1.0 / (diag + lam), cg_iters)
-
-        return solve, g, jnp.max(diag)
-
-    return make_step

@@ -6,28 +6,22 @@ capability of this framework (SURVEY.md section 7 step 7). Design:
 - the match/landmark axis N is sharded over a 1-D ``jax.sharding.Mesh``
   ("points" axis); every per-point array of ``PairData``/``PairState`` is
   placed with ``NamedSharding(P("points"))``, scalars/poses replicated;
-- the inner solve is MATRIX-FREE: instead of assembling the dense H (whose
-  point-point ARAP blocks would be scattered across shards), CG runs on the
-  normal equations with Hv = J^T(J v) computed by jvp+vjp through the
-  residual vector. ARAP neighbor gathers and the tangent-space reductions
-  compile to XLA collectives (all-gathers / psums) over ICI -- no hand-written
-  communication;
-- preconditioning: Jacobi with the exact diagonal of H, assembled from
-  per-edge local Jacobian blocks (cheap, local + one scatter).
+- the inner solve assembles the Gauss-Newton system in block-sparse ELLPACK
+  form (``models/block_system.py``): per-point 6x6 diagonal blocks, per-mesh-
+  neighbor 6x6 coupling blocks aligned with ``data.nbr``, and an 8-dim global
+  column. Every assembly product is point-local except the neighbor reads;
+  CG runs on the assembled operator, so one H v is a single packed [N, 6]
+  neighbor exchange plus MXU einsums -- no scatter, no AD transpose;
+- communication per matvec: the [N, 6] packed-tangent exchange for the
+  unstructured mesh-neighbor reads (XLA lowers it as an all-gather; the
+  adjacency is irregular, so the dense exchange of the small point set IS
+  the efficient halo), psums for the CG dot products and the shared 8-dim
+  (scales + global SE3) block;
+- preconditioning: block-Jacobi from the assembled 6x6/8x8 diagonal blocks.
 
 ``solve_pair_distributed`` runs the shared LM damping loop
-(``ops/lm.lm_optimize_general``) with the matrix-free CG backend
-(``ops/lm.make_cg_step``). On a single device the math matches the dense
-solver up to CG tolerance.
-
-Compiled-HLO communication audit (8-way virtual mesh, N=2048, 2 LM
-iterations x 8 CG): 44 all-gathers totalling ~3.3 MB per execution -- all of
-them the [N, 3] point arrays for the unstructured ARAP neighbor reads (the
-minimal halo data; the mesh adjacency is irregular, so a dense halo gather
-of the 24 KB point set IS the efficient exchange) -- plus scalar
-all-reduces for the CG dot products. No full-tangent or Hessian-sized
-collectives appear; communication stays O(N * 3) per matvec regardless of
-the tangent dimension.
+(``ops/lm.lm_optimize_general``) with the block-sparse PCG backend. On a
+single device the math matches the dense solver up to CG tolerance.
 """
 
 from __future__ import annotations
@@ -153,29 +147,21 @@ def solve_pair_distributed(
     tau: float = 1e-5,
     spec: deformable.ModelSpec = deformable.ModelSpec(),
 ) -> DistLMResult:
-    """LM with matrix-free PCG inner solves; the damping loop is the shared
+    """LM with block-sparse PCG inner solves; the damping loop is the shared
     ``ops/lm.lm_optimize_general`` (one policy, one implementation).
 
     Works on replicated arrays (single device) or landmark-sharded inputs
     placed by ``shard_pair`` -- the jitted computation is identical, XLA
-    partitions it according to the argument shardings.
+    partitions it according to the argument shardings. Under landmark
+    sharding the block system's per-point arrays (D, Bt, C, g_p) inherit the
+    points partition; the per-matvec communication is the [N, 6] packed
+    tangent all-gather for the neighbor reads plus scalar psums for the CG
+    dots and the 8-dim global block.
     """
-    n = state0.p1.shape[0]
-    dim = 6 * n + 8
+    from ..models import block_system as bs_
 
-    def residual_at(state):
-        def f(delta):
-            return deformable.residual_vector(
-                cam_kind, data, hyper, deformable.apply_delta(state, delta), spec
-            )
-
-        return f
-
-    make_step = lm_ops.make_cg_step(
-        residual_at,
-        lambda s: deformable.assemble_diag(cam_kind, data, hyper, s, spec),
-        dim,
-        cg_iters,
+    make_step = bs_.make_block_step(
+        cam_kind, data, hyper, spec, cg_iters, deformable.CG_RTOL
     )
     return lm_ops.lm_optimize_general(
         make_step,
