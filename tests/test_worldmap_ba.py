@@ -255,3 +255,48 @@ def test_scene_median_depth_and_invariants():
     wm.map_points[first_mp].position = wm.map_points[first_mp].position + 0.05
     with pytest.raises(AssertionError):
         wm.check_all_map_points_are_good(kf, project)
+
+
+def test_build_pair_map_wires_dual_points_and_global_transform():
+    """Live-pipeline map insertion (Mapping.cc:183-247): 2 keyframes, two map
+    points per valid match, observation graph entries, refined global SE3 in
+    the pairwise store, refined depth scales on the keyframes."""
+    import jax.numpy as jnp
+
+    from triangulation_in_deformable_scenes_tpu.models import deformable
+    from triangulation_in_deformable_scenes_tpu.pipeline.worldmap import build_pair_map
+
+    rng = np.random.default_rng(0)
+    n = 10
+    kp = rng.uniform(0, 100, size=(n, 2))
+    p1 = rng.normal(size=(n, 3))
+    p2 = p1 + 0.01
+    valid = np.ones(n, bool)
+    valid[3] = False
+    Rg = np.eye(3)
+    tg = np.array([0.0, 0.01, 0.0])
+    state = deformable.PairState(
+        p1=jnp.asarray(p1), p2=jnp.asarray(p2),
+        s1=jnp.asarray(0.5), s2=jnp.asarray(1.5),
+        Rg=jnp.asarray(Rg), tg=jnp.asarray(tg))
+    m = build_pair_map(
+        (np.eye(3), np.zeros(3)), (np.eye(3), np.ones(3)), kp, kp,
+        None, None, None, None, p1[:, 2], p2[:, 2], state, valid)
+
+    assert len(m.keyframes) == 2
+    assert len(m.map_points) == 2 * (n - 1)
+    kf1, kf2 = sorted(m.keyframes)
+    assert len(m.kf_obs[kf1]) == n - 1 and len(m.kf_obs[kf2]) == n - 1
+    m.check_keyframe(kf1)
+    m.check_keyframe(kf2)
+    assert m.keyframes[kf1].depth_scale == 0.5
+    assert m.keyframes[kf2].depth_scale == 1.5
+    R, t = m.get_global_transform(kf1, kf2)
+    np.testing.assert_allclose(t, tg)
+    # Dual points: one registry entry holds p1[i], its sibling p2[i].
+    positions = np.stack([mp.position for mp in m.map_points.values()])
+    for i in range(n):
+        if not valid[i]:
+            continue
+        assert np.isclose(positions, p1[i]).all(-1).any()
+        assert np.isclose(positions, p2[i]).all(-1).any()

@@ -170,18 +170,45 @@ def nms3(score):
 def dilate_mask(mask, side):
     """Binary dilation with a side x side rect kernel.
 
-    Separable (two 1-D max filters): the reference's per-octave kernels grow
-    as 2^octave (side 859 at octave 7 on full-res images); a naive 2-D window
-    is O(side^2) per pixel and minutes-slow, the separable form is O(side).
-    Kernels larger than the image saturate and are clamped.
+    Log-doubling shift-max: a 1-D max filter of radius r decomposes into
+    ceil(log2 r) elementwise maxima with power-of-two shifted copies (for
+    max, over-covering is harmless), applied separably per axis. The
+    reference's per-octave kernels grow as 2^octave (side 859 at octave 7 on
+    full-res images): a windowed reduce is O(side) work per pixel and lowers
+    to minutes-slow serial code on TPU, while this form is O(log side)
+    full-image vector ops. Kernels larger than the image saturate and are
+    clamped.
     """
     h, w = mask.shape
     side = int(min(side, 2 * max(h, w) + 1))
     r = side // 2
-    x = jnp.pad(mask.astype(jnp.float32), ((r, r), (0, 0)), constant_values=0)
-    x = jax.lax.reduce_window(x, jnp.float32(0.0), jax.lax.max, (side, 1), (1, 1), "valid")
-    x = jnp.pad(x, ((0, 0), (r, r)), constant_values=0)
-    x = jax.lax.reduce_window(x, jnp.float32(0.0), jax.lax.max, (1, side), (1, 1), "valid")
+    x = mask.astype(jnp.float32)
+
+    def shift0(x, s, axis):
+        """roll with zeros shifted in (no wraparound)."""
+        shifted = jnp.roll(x, s, axis=axis)
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(0, s) if s > 0 else slice(x.shape[axis] + s, None)
+        return shifted.at[tuple(idx)].set(0.0)
+
+    def dilate_axis(x, radius, axis):
+        # Invariant: x covers the max over offsets [-m, m]. A +-s shifted max
+        # extends coverage to [-(m+s), m+s] contiguously whenever s <= m+1;
+        # doubling with s = m+1 reaches m = 2^k - 1, and one final shift by
+        # the remainder lands on EXACTLY `radius`.
+        m = 0
+        while 2 * m + 1 <= radius:
+            s = m + 1
+            x = jnp.maximum(x, jnp.maximum(shift0(x, s, axis), shift0(x, -s, axis)))
+            m = 2 * m + 1
+        rem = radius - m
+        if rem > 0:
+            x = jnp.maximum(x, jnp.maximum(shift0(x, rem, axis), shift0(x, -rem, axis)))
+        return x
+
+    if r > 0:
+        x = dilate_axis(x, r, 0)
+        x = dilate_axis(x, r, 1)
     return x > 0
 
 
@@ -313,8 +340,36 @@ def extract(
 
     ``im`` is float [H, W] in 0..255. Total capacity = sum of per-level
     budgets (== n_features).
+
+    The whole multi-level pipeline compiles as ONE jitted program per
+    (image shape, config): every level shape is static at trace time, so the
+    Python level loop unrolls into a single XLA computation. Eager dispatch
+    here used to pay one host round-trip per primitive per level on the
+    tunneled TPU (hundreds of ms); the fused program runs in a handful of
+    kernel launches.
     """
     im = jnp.asarray(im, dtype=jnp.float32)
+    if border_mask is None:
+        return _extract_jit(
+            im, None, n_features, n_scales, float(scale_factor), float(th_high), float(th_low)
+        )
+    return _extract_jit(
+        im,
+        jnp.asarray(border_mask),
+        n_features,
+        n_scales,
+        float(scale_factor),
+        float(th_high),
+        float(th_low),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_features", "n_scales", "scale_factor", "th_high", "th_low")
+)
+def _extract_jit(
+    im, border_mask, n_features, n_scales, scale_factor, th_high, th_low
+) -> Keypoints:
     pyramid = build_pyramid(im, n_scales, scale_factor)
     masks = generate_masks(im, border_mask, n_scales)
     budgets = features_per_level(n_features, n_scales, scale_factor)

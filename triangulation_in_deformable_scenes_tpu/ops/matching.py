@@ -25,15 +25,18 @@ def hamming_matrix(bits_a, bits_b):
     """[N1, 256] x [N2, 256] 0/1 bits -> [N1, N2] Hamming distances.
 
     H(a, b) = sum(a) + sum(b) - 2 a.b : a single MXU matmul plus rank-1
-    corrections (cheaper and faster than XOR+popcount on TPU).
+    corrections (cheaper and faster than XOR+popcount on TPU). The operands
+    are 0/1 and the 256-bit dot is an integer <= 256, so bf16 inputs with
+    f32 accumulation are EXACT -- and run the MXU at full bf16 rate (4x the
+    f32 rate on v5e).
     """
-    a = bits_a.astype(jnp.float32)
-    b = bits_b.astype(jnp.float32)
+    a = bits_a.astype(jnp.bfloat16)
+    b = bits_b.astype(jnp.bfloat16)
     dots = jax.lax.dot_general(
         a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    sa = jnp.sum(a, axis=-1)
-    sb = jnp.sum(b, axis=-1)
+    sa = jnp.sum(a.astype(jnp.float32), axis=-1)
+    sb = jnp.sum(b.astype(jnp.float32), axis=-1)
     return sa[:, None] + sb[None, :] - 2.0 * dots
 
 
@@ -62,16 +65,20 @@ def search_for_initialization(
 
     ``backend``: "pallas" forces the fused TPU kernel, "xla" the dense-matrix
     path; None auto-selects (bit-identical results either way -- the kernel
-    is the same math with the [N1, N2] intermediates kept in VMEM). Measured
-    on TPU v5e: XLA's fused int8 Hamming matmul wins below ~8k x 8k
-    (0.03 ms vs 0.11 ms at 2k); the Pallas kernel's VMEM-resident
-    accumulation wins once the [N1, N2] intermediates stop fitting on-chip
-    (0.10 ms vs 0.11 ms at 8k, diverging above). The auto rule picks the
-    measured winner.
+    is the same math with the [N1, N2] intermediates kept in VMEM).
+
+    Backend choice, settled by the committed device-time size sweep
+    (BENCH_r03 ``matching_sweep``, TPU v5e, serialized-loop timing): XLA
+    wins at EVERY size -- 2.51 vs 2.93 ms at 1024^2, 3.10 vs 5.16 at
+    2048^2, 3.42 vs 12.06 at 4096^2, 4.47 vs 39.74 at 8192^2 -- and the
+    Pallas kernel's gap WIDENS with N (its row-blocked one-to-one pass
+    serializes where XLA's batched masked reductions pipeline). The auto
+    rule therefore always picks XLA; the Pallas kernel stays as a tested,
+    documented experiment (``ops/pallas_kernels.py``) and as the template
+    for fusing different matching variants should one outgrow VMEM.
     """
     if backend is None:
-        big = kp_ref.shape[0] * kp_cur.shape[0] >= 8192 * 8192
-        backend = "pallas" if (big and jax.default_backend() == "tpu") else "xla"
+        backend = "xla"
     if backend == "pallas":
         from . import pallas_kernels
 

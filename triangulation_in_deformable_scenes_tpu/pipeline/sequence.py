@@ -477,6 +477,16 @@ class SequencePipeline:
             self.map_viz.snapshot()
             self.map_viz.export_ply()
 
+        # Map-layer insertion (Mapping.cc:183-247 + Map.cc:323-343): dual
+        # points per match with observations and the refined global SE3.
+        from .worldmap import build_pair_map
+
+        wmap = build_pair_map(
+            T1w, T2w, init.kp1, init.kp2, None, None, init.octave1, init.octave2,
+            init.d1, init.d2, result.state, init.valid,
+            scale_factor=cfg.scale_factor, n_scales=cfg.n_scales,
+        )
+
         return {
             "init": init,
             "state": result.state,
@@ -485,4 +495,5 @@ class SequencePipeline:
             "final": abs1,
             "initial_pix": pix0,
             "final_pix": pix1,
+            "world_map": wmap,
         }

@@ -44,6 +44,7 @@ from ..utils import csvio, metrics as metrics_mod
 from ..utils.journal import ExperimentJournal
 from ..viz import MapVisualizer
 from ..precision import FP
+from .worldmap import build_pair_map
 
 
 @dataclasses.dataclass
@@ -59,6 +60,9 @@ class SimulationResult:
     n_matches: int
     n_map_points: int
     parallax_deg: float
+    # Populated map layer: dual points + observations + refined global SE3
+    # (Mapping.cc:183-247, Map.cc:323-343).
+    world_map: object = None
 
 
 class SimulationPipeline:
@@ -256,6 +260,15 @@ class SimulationPipeline:
             mviz.snapshot()
             mviz.export_ply()
 
+        # Map-layer insertion: dual points per match + observations +
+        # refined global SE3 (the reference's Mapping.cc:183-247 inserts
+        # into Map; the simulated keypoints carry no descriptors).
+        wmap = build_pair_map(
+            T1w, T2w, kp1, kp2, None, None, None, None, d1, d2,
+            result.state, valid,
+            scale_factor=cfg.scale_factor, n_scales=cfg.n_scales,
+        )
+
         return SimulationResult(
             state=result.state,
             valid=valid,
@@ -268,4 +281,5 @@ class SimulationPipeline:
             n_matches=len(orig),
             n_map_points=2 * n_valid,
             parallax_deg=parallax,
+            world_map=wmap,
         )

@@ -249,3 +249,64 @@ class WorldMap:
         m._next_kf_id = self._next_kf_id
         m._next_mp_id = self._next_mp_id
         return m
+
+
+def build_pair_map(
+    T1w,
+    T2w,
+    kp1,
+    kp2,
+    desc1,
+    desc2,
+    octave1,
+    octave2,
+    d1,
+    d2,
+    state,
+    valid,
+    scale_factor: float = 1.2,
+    n_scales: int = 8,
+) -> "WorldMap":
+    """Populate a WorldMap from one refined keyframe pair: the live-pipeline
+    equivalent of the reference's mapping insertion (Mapping.cc:183-247).
+
+    Per valid match i, TWO map points enter the registry -- the landmark's
+    position at keyframe 1 (state.p1[i]) observed by KF1, and its deformed
+    position at keyframe 2 (state.p2[i]) observed by KF2 -- with observation
+    graph entries and the refined global SE3 alignment stored in the pairwise
+    transform store (Map.cc:323-343). The per-keyframe refined depth scales
+    land on the KeyFrameData records (KeyFrame.cc:131-153 estimates them; the
+    refinement's s1/s2 are the optimized values).
+    """
+    m = WorldMap()
+    kp1 = np.asarray(kp1)
+    kp2 = np.asarray(kp2)
+    n = len(kp1)
+    octave1 = np.zeros(n, np.int32) if octave1 is None else np.asarray(octave1)
+    octave2 = np.zeros(n, np.int32) if octave2 is None else np.asarray(octave2)
+    desc1 = np.zeros((n, 256), np.int8) if desc1 is None else np.asarray(desc1)
+    desc2 = np.zeros((n, 256), np.int8) if desc2 is None else np.asarray(desc2)
+
+    kf1 = KeyFrameData(
+        kf_id=-1, R_cw=np.asarray(T1w[0]), t_cw=np.asarray(T1w[1]), kp=kp1,
+        octave=octave1, desc=desc1, depth=None if d1 is None else np.asarray(d1),
+        depth_scale=float(state.s1), scale_factor=scale_factor, n_scales=n_scales,
+    )
+    kf2 = KeyFrameData(
+        kf_id=-1, R_cw=np.asarray(T2w[0]), t_cw=np.asarray(T2w[1]), kp=kp2,
+        octave=octave2, desc=desc2, depth=None if d2 is None else np.asarray(d2),
+        depth_scale=float(state.s2), scale_factor=scale_factor, n_scales=n_scales,
+    )
+    id1 = m.insert_keyframe(kf1)
+    id2 = m.insert_keyframe(kf2)
+
+    p1 = np.asarray(state.p1)
+    p2 = np.asarray(state.p2)
+    for i in np.nonzero(np.asarray(valid, dtype=bool))[0]:
+        mp1 = m.insert_map_point(p1[i], descriptor=desc1[i])
+        mp2 = m.insert_map_point(p2[i], descriptor=desc2[i])
+        m.add_observation(id1, mp1, int(i))
+        m.add_observation(id2, mp2, int(i))
+
+    m.set_global_transform(id1, id2, np.asarray(state.Rg), np.asarray(state.tg))
+    return m
