@@ -40,6 +40,10 @@ def main():
                     help="fixture database root ('' to generate fixtures)")
     ap.add_argument("--out", default="./Experiments")
     ap.add_argument("--csv", default=None, help="write consolidated CSV here")
+    ap.add_argument("--compare", default=None,
+                    help="write a cell-by-cell comparison CSV vs the reference's committed traces here")
+    ap.add_argument("--compare-root", default="/root/reference/Data/Experiments",
+                    help="root of the reference's committed Experiments tree")
     ap.add_argument("--rounds", type=int, default=5, help="outer optimization rounds")
     ap.add_argument("--nlopt-evals", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
@@ -127,6 +131,22 @@ def main():
             experiment=args.experiment[0],
         )
         print(f"wrote {path}")
+
+    if args.compare:
+        from triangulation_in_deformable_scenes_tpu.harness import write_comparison_csv
+
+        path, n_cells, n_wins = write_comparison_csv(
+            args.compare,
+            args.out,
+            args.compare_root,
+            models=args.model,
+            triangulations=args.triangulation,
+            shapes=args.shape,
+            depth_cms=args.depth,
+            experiment_types=args.types or [1, 2, 3, 4, 5, 6],
+            experiments=args.experiment,
+        )
+        print(f"wrote {path}: {n_wins}/{n_cells} cells beat the committed reference finals")
 
 
 if __name__ == "__main__":

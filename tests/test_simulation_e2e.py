@@ -100,3 +100,72 @@ def test_discrepancy_principle_drives_sigma_toward_noise(tmp_path):
     )
     assert 0.05 < res.final_pix.desvc1 < 3.0
     assert 0.05 < res.final_pix.desvc2 < 3.0
+
+
+@pytest.mark.slow
+def test_committed_sweep_condition_beats_reference(tmp_path):
+    """Regression pin for the headline bench condition: the 20.9mm Gradual
+    gaussian+rigid fixture under the committed sweep-time configuration
+    (DepthMeasurement, unit scales, 3mm depth noise -- bench.py docstring).
+    The committed baselines for this exact cell are Errors 3.csv:11
+    ("20,90 Gradual 10 10"): InRays 2.67 -> 43.97, FarPoints 11.50 -> 28.85.
+    Asserted with generous margin under a reduced test budget; bench.py runs
+    the full shipped budget."""
+    fixture = os.path.join(REF, "SinteticDataBase/20cm Depth/Gradual/10 mm gaussian + rigid/3")
+    for location, init_lo, init_hi, final_max in (
+        ("inRays", 2.0, 3.5, 8.0),       # committed ref final: 43.97
+        ("FarPoints", 10.0, 13.0, 14.0),  # committed ref final: 28.85
+    ):
+        cfg = fast_cfg(
+            triangulation_location=location,
+            triangulation_method="DepthMeasurement",
+            sim_depth_scale_c1=1.0,
+            sim_depth_scale_c2=1.0,
+            sim_depth_error=3.0,
+            sim_depth_weight=3.0,
+            opt_model="ARAP_depth_3mm",
+        )
+        pipe = SimulationPipeline(cfg, seed=0)
+        res = pipe.run(
+            os.path.join(fixture, "original_points.csv"),
+            os.path.join(fixture, "moved_points.csv"),
+            journal_path=str(tmp_path / f"exp_{location}.txt"),
+        )
+        init_mm = res.initial.av_error * 1000
+        final_mm = res.final.av_error * 1000
+        # Initial-error parity with the committed trace (like-for-like check).
+        assert init_lo < init_mm < init_hi, f"{location}: initial {init_mm:.2f}mm"
+        # Far below the reference's committed final on the same cell.
+        assert final_mm < final_max, f"{location}: final {final_mm:.2f}mm"
+
+
+@pytest.mark.slow
+def test_shipped_yaml_condition_improves(tmp_path):
+    """The literal shipped Simulation.yaml condition (NRSLAM triangulation,
+    corrupted depth scales): refinement must improve the 3D error. The
+    committed Experiment.txt (2.346 -> 1.110mm) is NOT a baseline for this
+    config -- it records 389 matches and a 0.64mm camera baseline vs the
+    shipped fixture's 120 points / 247.6mm baseline (see bench.py)."""
+    cfg = load_config(os.path.join(REF, "Simulation.yaml"))
+    cfg = dataclasses.replace(
+        cfg,
+        n_optimizations=2,
+        n_opt_iterations=15,
+        nlopt_n_optimizations=5,
+        nlopt_rel_tolerance=1.5e-2,
+        nlopt_abs_tolerance=1.5e-2,
+    )
+    pipe = SimulationPipeline(cfg, seed=0)
+    res = pipe.run(
+        os.path.join(REF, "original_points.csv"),
+        os.path.join(REF, "moved_points.csv"),
+        journal_path=str(tmp_path / "exp.txt"),
+    )
+    init_mm = res.initial.av_error * 1000
+    final_mm = res.final.av_error * 1000
+    assert 12.0 < init_mm < 16.0  # NRSLAM midpoint on the deforming cloud
+    assert final_mm < init_mm * 0.75  # refinement improves substantially
+    # Map layer is populated by the live pipeline (VERDICT r2 item 9).
+    wm = res.world_map
+    assert len(wm.keyframes) == 2
+    assert len(wm.map_points) == 2 * int(res.valid.sum())

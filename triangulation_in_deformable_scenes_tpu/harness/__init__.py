@@ -7,4 +7,4 @@ a compiled binary per condition.
 
 from .create_data import generate_points, save_points  # noqa: F401
 from .sweep import SweepCondition, run_sweep  # noqa: F401
-from .aggregate import journal_to_row, write_condition_csv  # noqa: F401
+from .aggregate import journal_to_row, write_comparison_csv, write_condition_csv  # noqa: F401

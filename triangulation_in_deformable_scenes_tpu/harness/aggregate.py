@@ -84,3 +84,63 @@ def write_condition_csv(
         w.writerow(header)
         w.writerows(rows)
     return out_path
+
+
+def write_comparison_csv(
+    out_path: str,
+    ours_root: str,
+    ref_root: str,
+    models: Iterable[str],
+    triangulations: Iterable[str],
+    shapes=("Planar", "Gradual"),
+    depth_cms=(20,),
+    experiment_types=(2, 5, 6),
+    experiments=(1, 2, 3),
+):
+    """Cell-by-cell accuracy comparison against the reference's COMMITTED
+    per-condition traces (``Data/Experiments/<Model>/<Tri>/...``).
+
+    One row per (model, tri, depth, shape, type, repetition) where BOTH
+    sides have a journal; columns hold each side's Initial/Final avg error
+    (mm, '.' decimals -- this table is for analysis, not byte-diffing) and a
+    ``win`` flag (our final strictly smaller). Returns (path, n_cells,
+    n_wins). Cells whose reference journal is missing are skipped -- the
+    reference's sweep coverage is partial (e.g. ARAP_depth_* exists only at
+    20cm depth).
+    """
+    rows = []
+    n_win = 0
+    for m in models:
+        for t in triangulations:
+            for depth_cm in depth_cms:
+                for shape in shapes:
+                    for etype in experiment_types:
+                        if shape == "Gradual" and etype in (1, 4):
+                            continue
+                        for rep in experiments:
+                            cond = SweepCondition(m, t, depth_cm, shape, etype, rep)
+                            ours = os.path.join(ours_root, cond.result_dir, "Experiment.txt")
+                            ref = os.path.join(ref_root, cond.result_dir, "Experiment.txt")
+                            if not (os.path.exists(ours) and os.path.exists(ref)):
+                                continue
+                            ro = journal_to_row(ours)
+                            rr = journal_to_row(ref)
+                            win = ro["final"] < rr["final"]
+                            n_win += int(win)
+                            p = EXPERIMENT_TYPES[etype]
+                            rows.append([
+                                m, t, depth_cm, shape, p["gaussian"], p["rigid"], rep,
+                                f"{ro['initial']:.3f}", f"{ro['final']:.3f}",
+                                f"{rr['initial']:.3f}", f"{rr['final']:.3f}",
+                                int(win),
+                            ])
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow([
+            "Model", "Triangulation", "Depth (cm)", "Shape", "Gaussian Mov",
+            "Rigid Mov", "Experiment", "Ours Initial (mm)", "Ours Final (mm)",
+            "Ref Initial (mm)", "Ref Final (mm)", "Win",
+        ])
+        w.writerows(rows)
+    return out_path, len(rows), n_win
