@@ -574,29 +574,49 @@ hyper = deformable.Hyper(
     rep_w=jnp.asarray(1.0, FP), arap_w=jnp.asarray(1e-4, FP),
     depth_sigma=jnp.asarray(0.003, FP), global_w=jnp.asarray(50.0, FP),
     alpha=jnp.asarray(1.0, FP), beta=jnp.asarray(1.0, FP))
-if len(jax.devices()) > 1:
+mode = os.environ.get("SCALE_MODE", "halo")
+extra = {}
+if mode == "halo":
+    # Locality-aware sharding: Morton partition + shard_map halo exchange
+    # (parallel/halo.py). Works on 1 device too (trivial axis).
+    from triangulation_in_deformable_scenes_tpu.parallel import halo
     mesh = dist.make_mesh()
-    data, state = dist.shard_pair(mesh, data, state)
-run = lambda: dist.solve_pair_distributed("KB8", data, hyper, state, 5, cg_iters=32).cost.block_until_ready()
+    plan = halo.plan_halo(p1, np.asarray(data.nbr), np.asarray(data.nbr_mask),
+                          len(jax.devices()))
+    data_p = halo.permute_data(data, plan)
+    state_p = halo.permute_state(state, plan)
+    data_p, state_p = dist.shard_pair(mesh, data_p, state_p)
+    plan_arrays = halo.place_plan(mesh, plan)
+    solver = halo.build_halo_solver(mesh, "KB8", 5, cg_iters=32)
+    run = lambda: solver(data_p, hyper, state_p, plan_arrays).cost.block_until_ready()
+    extra = {"boundary": plan.n_boundary}
+else:
+    # Naive: leave the neighbor gather to the SPMD partitioner (all-gather).
+    if len(jax.devices()) > 1:
+        mesh = dist.make_mesh()
+        data, state = dist.shard_pair(mesh, data, state)
+    run = lambda: dist.solve_pair_distributed("KB8", data, hyper, state, 5, cg_iters=32).cost.block_until_ready()
 run()
 t0 = time.perf_counter()
 for _ in range(3):
     run()
-print(json.dumps({"t": (time.perf_counter() - t0) / 3}))
+print(json.dumps({"t": (time.perf_counter() - t0) / 3, **extra}))
 """
 
 
-def virtual_scaling_check(n=16384):
+def virtual_scaling_check(n=16384, small_n=2048):
     """Run the sharded solver on 1 vs 8 virtual CPU devices (same silicon:
     this measures the partitioned program's communication overhead, not
-    scaling)."""
-    times = {}
-    for ndev in (1, 8):
+    scaling). Two modes: "halo" (Morton partition + shard_map boundary
+    exchange, parallel/halo.py) and "naive" (partitioner all-gather)."""
+
+    def one(ndev, size, mode):
         env = dict(os.environ)
         env.update({
             "JAX_PLATFORMS": "cpu",
             "PALLAS_AXON_POOL_IPS": "",
-            "SCALE_N": str(n),
+            "SCALE_N": str(size),
+            "SCALE_MODE": mode,
             "XLA_FLAGS": f"--xla_force_host_platform_device_count={ndev}",
         })
         try:
@@ -605,17 +625,31 @@ def virtual_scaling_check(n=16384):
                 capture_output=True, text=True, timeout=900, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            times[ndev] = json.loads(out.stdout.strip().splitlines()[-1])["t"]
+            return json.loads(out.stdout.strip().splitlines()[-1])
         except Exception:
-            times[ndev] = None
-    if times.get(1) and times.get(8):
-        return {
+            return None
+
+    res = {}
+    halo1 = one(1, n, "halo")
+    halo8 = one(8, n, "halo")
+    naive8 = one(8, n, "naive")
+    halo8_small = one(8, small_n, "halo")
+    halo1_small = one(1, small_n, "halo")
+    if halo1 and halo8:
+        res.update({
             "virtual_scaling_n": n,
-            "virtual1_solve_s": round(times[1], 3),
-            "virtual8_solve_s": round(times[8], 3),
-            "virtual8_comm_overhead": round(times[8] / times[1], 3),
-        }
-    return {"virtual8_comm_overhead": None}
+            "virtual1_solve_s": round(halo1["t"], 3),
+            "virtual8_solve_s": round(halo8["t"], 3),
+            "virtual8_comm_overhead": round(halo8["t"] / halo1["t"], 3),
+            "halo_boundary_pts": halo8.get("boundary"),
+        })
+    if naive8 and halo1:
+        res["virtual8_naive_overhead"] = round(naive8["t"] / halo1["t"], 3)
+    if halo1_small and halo8_small:
+        res["virtual8_comm_overhead_n2048"] = round(
+            halo8_small["t"] / halo1_small["t"], 3
+        )
+    return res or {"virtual8_comm_overhead": None}
 
 
 def main():

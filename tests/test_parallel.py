@@ -109,3 +109,128 @@ def test_pair_sharded_serving_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(res_sharded.cost), np.asarray(res_local.cost), rtol=0.2
     )
+
+
+# ---------------------------------------------------------------------------
+# Halo-exchange landmark sharding (parallel/halo.py)
+# ---------------------------------------------------------------------------
+
+
+def _random_pair(n, seed=0):
+    from triangulation_in_deformable_scenes_tpu.precision import FP
+
+    rng = np.random.default_rng(seed)
+    p1 = rng.normal(size=(n, 3)) * 0.05 + [0, 0, 0.2]
+    p2 = p1 + rng.normal(scale=0.005, size=(n, 3))
+    kp = rng.uniform(100, 600, size=(n, 2))
+    data = deformable.make_pair_data(
+        kp1=kp, kp2=kp, depth1=p1[:, 2], depth2=p2[:, 2],
+        valid=np.ones(n, bool),
+        cam_params=np.array([458.0, 457.0, 367.0, 248.0, 0, 0, 0, 0]),
+        T1w=(np.eye(3), np.zeros(3)), T2w=(np.eye(3), np.zeros(3)),
+        p1=p1, p2=p2,
+    )
+    state = deformable.PairState(
+        p1=jnp.asarray(p1, FP), p2=jnp.asarray(p2, FP),
+        s1=jnp.asarray(1.0, FP), s2=jnp.asarray(1.0, FP),
+        Rg=jnp.eye(3, dtype=FP), tg=jnp.zeros(3, dtype=FP),
+    )
+    hyper = deformable.Hyper(
+        rep_w=jnp.asarray(1.0, FP), arap_w=jnp.asarray(1e-4, FP),
+        depth_sigma=jnp.asarray(0.003, FP), global_w=jnp.asarray(50.0, FP),
+        alpha=jnp.asarray(1.0, FP), beta=jnp.asarray(1.0, FP),
+    )
+    return data, state, hyper, p1
+
+
+def test_halo_plan_invariants():
+    """Every mesh edge is resolved to exactly one of (local read, halo read),
+    and the halo buffer rows are owned by the shard holding the point."""
+    from triangulation_in_deformable_scenes_tpu.parallel import halo
+
+    data, state, hyper, p1 = _random_pair(256)
+    n_shards = 8
+    plan = halo.plan_halo(p1, np.asarray(data.nbr), np.asarray(data.nbr_mask), n_shards)
+    n = 256
+    n_loc = n // n_shards
+    nbr = np.asarray(data.nbr)
+    mask = np.asarray(data.nbr_mask) & (nbr >= 0)
+    nbr_new = np.where(mask, plan.inv_perm[np.maximum(nbr, 0)], -1)[plan.perm]
+    mask_new = mask[plan.perm]
+    owner_row = np.arange(n) // n_loc
+    # Local slots point at the true neighbor inside this shard's block.
+    loc = mask_new & plan.nbr_is_local
+    np.testing.assert_array_equal(
+        (owner_row[:, None] * n_loc + plan.nbr_loc)[loc], nbr_new[loc]
+    )
+    # Halo slots resolve through (owner, local) to the true neighbor.
+    off = mask_new & ~plan.nbr_is_local
+    resolved = (
+        plan.halo_owner[plan.nbr_halo].astype(np.int64) * n_loc
+        + plan.halo_local[plan.nbr_halo]
+    )
+    np.testing.assert_array_equal(resolved[off], nbr_new[off])
+    # Morton partition keeps the boundary sub-linear on a Delaunay mesh.
+    assert plan.n_boundary < 0.8 * n
+    # Permutation round-trips.
+    np.testing.assert_array_equal(plan.perm[plan.inv_perm], np.arange(n))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_halo_solve_matches_unsharded():
+    """The shard_map halo PCG must land where the partitioner-lowered solver
+    lands (same LM policy, same block system, same CG tolerance)."""
+    from triangulation_in_deformable_scenes_tpu.parallel import halo
+
+    data, state, hyper, p1 = _random_pair(256)
+    res_ref = dist.solve_pair_distributed(
+        "KB8", data, hyper, state, n_iterations=5, cg_iters=32
+    )
+    mesh = dist.make_mesh(jax.devices()[:8])
+    res_halo = halo.solve_pair_halo(
+        mesh, "KB8", data, hyper, state, n_iterations=5, cg_iters=32
+    )
+    assert float(res_halo.cost) <= float(res_halo.initial_cost) * 0.2
+    # Same optimum up to CG tolerance / reduction-order rounding.
+    np.testing.assert_allclose(
+        float(res_halo.cost), float(res_ref.cost), rtol=5e-3
+    )
+    d = np.linalg.norm(
+        np.asarray(res_halo.state.p1) - np.asarray(res_ref.state.p1), axis=-1
+    )
+    assert d.max() < 1e-3
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_halo_matvec_matches_block_matvec():
+    """One shard_map halo solve of (H + lam I) x = -g agrees tightly with the
+    single-device block-system solve (no LM accept/reject amplification)."""
+    from triangulation_in_deformable_scenes_tpu.models import block_system as bs
+    from triangulation_in_deformable_scenes_tpu.parallel import halo
+
+    data, state, hyper, p1 = _random_pair(128)
+    spec = deformable.ModelSpec()
+    mesh = dist.make_mesh(jax.devices()[:8])
+    # Reference solve on the unpermuted problem (single device semantics).
+    make_step = bs.make_block_step("KB8", data, hyper, spec, 64, 1e-6)
+    solve, g, _ = make_step(state)
+    x_ref = solve(jnp.asarray(0.01))
+
+    plan = halo.plan_halo(p1, np.asarray(data.nbr), np.asarray(data.nbr_mask), 8)
+    data_p = halo.permute_data(data, plan)
+    state_p = halo.permute_state(state, plan)
+    data_p, state_p = dist.shard_pair(mesh, data_p, state_p)
+    plan_arrays = halo.place_plan(mesh, plan)
+    make_step_h = halo.make_halo_step(
+        mesh, "KB8", data_p, hyper, spec, plan_arrays, 64, 1e-6
+    )
+    solve_h, _, _ = make_step_h(state_p)
+    x_h = np.asarray(solve_h(jnp.asarray(0.01)))
+    # Un-permute the point part of the flat tangent for comparison.
+    n = 128
+    xp1 = x_h[: 3 * n].reshape(n, 3)[plan.inv_perm]
+    xp2 = x_h[3 * n : 6 * n].reshape(n, 3)[plan.inv_perm]
+    x_ref = np.asarray(x_ref)
+    np.testing.assert_allclose(xp1, x_ref[: 3 * n].reshape(n, 3), rtol=2e-2, atol=2e-5)
+    np.testing.assert_allclose(xp2, x_ref[3 * n : 6 * n].reshape(n, 3), rtol=2e-2, atol=2e-5)
+    np.testing.assert_allclose(x_h[6 * n :], x_ref[6 * n :], rtol=2e-2, atol=2e-5)

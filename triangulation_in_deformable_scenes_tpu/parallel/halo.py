@@ -1,0 +1,350 @@
+"""Locality-aware landmark sharding with explicit halo exchange.
+
+The plain landmark-sharded solve (``dist.solve_pair_distributed``) leaves the
+mesh-neighbor gather ``v_p[nbr]`` to XLA's SPMD partitioner. The adjacency is
+unpartitioned, so the partitioner proves nothing about locality and lowers
+every CG matvec to an all-gather of the FULL packed tangent [N, 6] — the
+round-2 HLO audit counted 44 such all-gathers per solve, and the measured
+8-virtual-device overhead was 2.2x (BENCH_r02 ``virtual8_comm_overhead``).
+
+This module makes the locality explicit instead (SURVEY.md §7.7: "ARAP
+neighbor exchange via halo gather (neighbor lists partitioned by mesh
+block)"):
+
+1. **Spatial reorder** (host, once per solve): landmarks are permuted into
+   Morton order of their KF1 pixel coordinates — the Delaunay mesh is built
+   over exactly this 2-D layout (``Geometry.cc:317-368`` lifts a 2-D
+   triangulation), so Z-order curve locality in pixel space IS mesh-graph
+   locality. Contiguous blocks of the permuted order become the shards.
+2. **Halo plan** (host, once per solve): the boundary set B = every landmark
+   referenced by a neighbor slot owned by a *different* shard. For a Delaunay
+   mesh under a space-filling-curve partition, |B| grows like the perimeter
+   O(sqrt(N·n_shards)), not like N.
+3. **shard_map PCG**: the damped-system solve runs inside ``jax.shard_map``
+   over the points axis. Each matvec exchanges ONLY the [B, 6] boundary rows
+   (owners scatter their rows into a zero buffer, one ``psum`` shares it)
+   plus two scalar psums for the CG dots and the shared 8-dim
+   (scales + global-SE3) block. Off-shard neighbor reads index the halo
+   buffer; on-shard reads index the local block.
+
+Communication per matvec drops from all-gather(6·N) to psum(6·|B| + 9).
+Assembly (once per LM linearization) and the robustified-cost evaluation
+(once per trial) still read neighbors through the partitioner's all-gather —
+they are 1-2 per LM iteration vs ``cg_iters`` matvecs, so the matvec is the
+term that matters.
+
+The reference has no counterpart: it is a single-threaded C++ process
+(SURVEY.md §2 "Parallelism"); this is the framework's scale-out capability.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models import block_system as bs_
+from ..models import deformable as D_
+from ..ops import lm as lm_ops
+from ..precision import TINY
+from . import dist
+
+try:  # jax >= 0.8
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def morton_perm(xy: np.ndarray) -> np.ndarray:
+    """Permutation sorting 2-D points along a Z-order (Morton) curve."""
+    xy = np.asarray(xy, np.float64)
+    mn = xy.min(axis=0)
+    span = np.maximum(xy.max(axis=0) - mn, 1e-12)
+    g = ((xy - mn) / span * 65535.0).astype(np.uint64)
+
+    def spread(v):
+        v &= np.uint64(0xFFFF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+        return v
+
+    code = spread(g[:, 0]) | (spread(g[:, 1]) << np.uint64(1))
+    return np.argsort(code, kind="stable")
+
+
+class HaloPlan(NamedTuple):
+    """Host-computed shard layout (all arrays in the PERMUTED index space)."""
+
+    perm: np.ndarray        # [N] new -> old landmark index
+    inv_perm: np.ndarray    # [N] old -> new
+    n_shards: int
+    n_boundary: int         # true boundary count (arrays padded to >= 1)
+    nbr_is_local: np.ndarray  # [N, K] neighbor lives on the same shard
+    nbr_loc: np.ndarray       # [N, K] index into the owning shard's block
+    nbr_halo: np.ndarray      # [N, K] index into the halo buffer (off-shard)
+    halo_owner: np.ndarray    # [B] shard id owning each boundary row
+    halo_local: np.ndarray    # [B] index within the owner's block
+
+
+def plan_halo(xy, nbr, nbr_mask, n_shards: int) -> HaloPlan:
+    """Build the Morton partition + halo exchange plan on the host.
+
+    ``xy`` must be the 2-D layout the Delaunay mesh was built over — the
+    (x, y) projection of the KF1 world points (``mesh.build_mesh_context``
+    triangulates exactly those; ``Geometry.cc:317-368`` lifts a 2-D
+    triangulation the same way). Z-order locality in that plane IS mesh-graph
+    locality; sorting by any other coordinates destroys the halo bound.
+    """
+    xy = np.asarray(xy)[:, :2]
+    nbr = np.asarray(nbr)
+    mask = np.asarray(nbr_mask, bool) & (nbr >= 0)
+    n, _ = nbr.shape
+    if n % n_shards != 0:
+        raise ValueError(
+            f"landmark count {n} not divisible by {n_shards} shards; pad the "
+            f"pair (make_pair_data already pads to a fixed N)"
+        )
+    perm = morton_perm(xy)
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+
+    # Adjacency in the permuted space, rows reordered to the new layout.
+    nbr_new = np.where(mask, inv[np.maximum(nbr, 0)], -1)[perm]
+    mask = mask[perm]
+
+    n_loc = n // n_shards
+    owner_row = np.arange(n) // n_loc
+    nbr_owner = np.where(mask, nbr_new // n_loc, owner_row[:, None])
+    off = mask & (nbr_owner != owner_row[:, None])
+
+    boundary = np.unique(nbr_new[off]) if off.any() else np.zeros(0, np.int64)
+    n_boundary = int(boundary.size)
+    b_pad = max(n_boundary, 1)
+    halo_owner = np.full(b_pad, -1, np.int32)
+    halo_local = np.zeros(b_pad, np.int32)
+    halo_owner[:n_boundary] = (boundary // n_loc).astype(np.int32)
+    halo_local[:n_boundary] = (boundary % n_loc).astype(np.int32)
+    halo_of = np.zeros(n, np.int64)
+    halo_of[boundary] = np.arange(n_boundary)
+
+    nbr_is_local = ~off
+    nbr_loc = np.where(mask & nbr_is_local, nbr_new % n_loc, 0).astype(np.int32)
+    nbr_halo = np.where(off, halo_of[np.maximum(nbr_new, 0)], 0).astype(np.int32)
+    return HaloPlan(
+        perm=perm, inv_perm=inv, n_shards=n_shards, n_boundary=n_boundary,
+        nbr_is_local=nbr_is_local, nbr_loc=nbr_loc, nbr_halo=nbr_halo,
+        halo_owner=halo_owner, halo_local=halo_local,
+    )
+
+
+def permute_data(data: D_.PairData, plan: HaloPlan) -> D_.PairData:
+    """Reorder every per-point array into the plan's Morton layout and remap
+    the adjacency values into the new index space."""
+    n = plan.perm.shape[0]
+    perm = jnp.asarray(plan.perm)
+
+    def rows(x):
+        x = jnp.asarray(x)
+        return x[perm] if (x.ndim >= 1 and x.shape[0] == n) else x
+
+    fields = {name: rows(val) for name, val in data._asdict().items()}
+    nbr = np.asarray(data.nbr)
+    mask = np.asarray(data.nbr_mask, bool) & (nbr >= 0)
+    nbr_new = np.where(mask, plan.inv_perm[np.maximum(nbr, 0)], -1)[plan.perm]
+    fields["nbr"] = jnp.asarray(nbr_new, jnp.int32)
+    return D_.PairData(**fields)
+
+
+def permute_state(state: D_.PairState, plan: HaloPlan) -> D_.PairState:
+    perm = jnp.asarray(plan.perm)
+    return state._replace(p1=state.p1[perm], p2=state.p2[perm])
+
+
+def unpermute_state(state: D_.PairState, plan: HaloPlan) -> D_.PairState:
+    inv = jnp.asarray(plan.inv_perm)
+    return state._replace(p1=state.p1[inv], p2=state.p2[inv])
+
+
+def _pcg_halo_local(
+    D, Bt, C, Hg, g_p, g_g,
+    nbr_is_local, nbr_loc, nbr_halo, halo_owner, halo_local, lam,
+    *, axis: str, cg_iters: int, rtol: float,
+):
+    """Per-shard PCG body (runs inside shard_map). Solves
+    (H + lam I) x = -g with block-Jacobi preconditioning; per matvec the only
+    collectives are the [B, 6] halo psum and two small psums."""
+    my = jax.lax.axis_index(axis)
+    eye6 = jnp.eye(6, dtype=D.dtype)
+    Dinv = jnp.linalg.inv(D + lam * eye6[None])
+    Hginv = jnp.linalg.inv(Hg + lam * jnp.eye(8, dtype=Hg.dtype))
+    own = (halo_owner == my)[:, None]
+
+    def matvec(v_p, v_g):
+        # Halo exchange: each shard scatters the boundary rows it owns, one
+        # psum makes the [B, 6] buffer identical everywhere.
+        halo = jax.lax.psum(jnp.where(own, v_p[halo_local], 0.0), axis)
+        vj = jnp.where(nbr_is_local[..., None], v_p[nbr_loc], halo[nbr_halo])
+        y_p = (
+            jnp.einsum("nab,nb->na", D, v_p)
+            + jnp.einsum("nkab,nkb->na", Bt, vj)
+            + jnp.einsum("nag,g->na", C, v_g)
+            + lam * v_p
+        )
+        y_g = jax.lax.psum(jnp.einsum("nag,na->g", C, v_p), axis) + Hg @ v_g + lam * v_g
+        return y_p, y_g
+
+    def pre(r_p, r_g):
+        return jnp.einsum("nab,nb->na", Dinv, r_p), Hginv @ r_g
+
+    def dot(a_p, a_g, b_p, b_g):
+        # v_g is replicated: add its contribution once (no psum).
+        return jax.lax.psum(jnp.sum(a_p * b_p), axis) + jnp.dot(a_g, b_g)
+
+    b_p, b_g = -g_p, -g_g
+    x_p = jnp.zeros_like(b_p)
+    x_g = jnp.zeros_like(b_g)
+    r_p, r_g = b_p, b_g
+    z_p, z_g = pre(r_p, r_g)
+    bb = dot(b_p, b_g, b_p, b_g)
+    tol2 = rtol * rtol * bb
+
+    def cond(carry):
+        _, _, r_p, r_g, *_, k = carry
+        return jnp.logical_and(k < cg_iters, dot(r_p, r_g, r_p, r_g) > tol2)
+
+    def body(carry):
+        x_p, x_g, r_p, r_g, z_p, z_g, p_p, p_g, k = carry
+        Ap_p, Ap_g = matvec(p_p, p_g)
+        rz = dot(r_p, r_g, z_p, z_g)
+        alpha = rz / (dot(p_p, p_g, Ap_p, Ap_g) + TINY)
+        x_p, x_g = x_p + alpha * p_p, x_g + alpha * p_g
+        r_p, r_g = r_p - alpha * Ap_p, r_g - alpha * Ap_g
+        z_p, z_g = pre(r_p, r_g)
+        beta = dot(r_p, r_g, z_p, z_g) / (rz + TINY)
+        p_p, p_g = z_p + beta * p_p, z_g + beta * p_g
+        return (x_p, x_g, r_p, r_g, z_p, z_g, p_p, p_g, k + 1)
+
+    x_p, x_g, *_ = jax.lax.while_loop(
+        cond, body, (x_p, x_g, r_p, r_g, z_p, z_g, z_p, z_g, jnp.int32(0))
+    )
+    return x_p, x_g
+
+
+def make_halo_step(mesh: Mesh, cam_kind, data, hyper, spec, plan_arrays,
+                   cg_iters: int, cg_rtol: float):
+    """LM step factory (``ops.lm.lm_optimize_general`` contract) whose damped
+    solves run the halo-exchange PCG inside shard_map."""
+    axis = dist.POINTS_AXIS
+    nbr_is_local, nbr_loc, nbr_halo, halo_owner, halo_local = plan_arrays
+    row = P(axis)
+    rep = P()
+    pcg = functools.partial(
+        _pcg_halo_local, axis=axis, cg_iters=cg_iters, rtol=cg_rtol
+    )
+    sharded_pcg = _shard_map(
+        pcg,
+        mesh=mesh,
+        in_specs=(row, row, row, rep, row, rep, row, row, row, rep, rep, rep),
+        out_specs=(row, rep),
+        check_vma=False,
+    )
+
+    def make_step(state):
+        sys = bs_.build_block_system(cam_kind, data, hyper, state, spec)
+        g = bs_.flat_gradient(sys)
+        diag_max = jnp.max(bs_.diag_of(sys))
+
+        def solve(lam):
+            x_p, x_g = sharded_pcg(
+                sys.D, sys.Bt, sys.C, sys.Hg, sys.g_p, sys.g_g,
+                nbr_is_local, nbr_loc, nbr_halo, halo_owner, halo_local,
+                jnp.asarray(lam, sys.D.dtype),
+            )
+            return bs_._join(x_p, x_g)
+
+        return solve, g, diag_max
+
+    return make_step
+
+
+def build_halo_solver(mesh: Mesh, cam_kind: str, n_iterations: int,
+                      cg_iters: int = 50, max_trials: int = 6,
+                      tau: float = 1e-5, spec: D_.ModelSpec = D_.ModelSpec()):
+    """Compile-once solver factory. The returned callable takes
+    (data, hyper, state0, plan_arrays) — all in the PERMUTED layout, already
+    placed on the mesh — and runs the shared LM damping loop with the
+    halo-PCG backend."""
+
+    @jax.jit
+    def run(data, hyper, state0, plan_arrays):
+        make_step = make_halo_step(
+            mesh, cam_kind, data, hyper, spec, plan_arrays, cg_iters, D_.CG_RTOL
+        )
+        return lm_ops.lm_optimize_general(
+            make_step,
+            robust_cost=lambda s: D_.robust_cost(cam_kind, data, hyper, s, spec),
+            apply_delta=D_.apply_delta,
+            state0=state0,
+            n_iterations=n_iterations,
+            tau=tau,
+            max_trials=max_trials,
+        )
+
+    return run
+
+
+def place_plan(mesh: Mesh, plan: HaloPlan):
+    """Device-place the plan's index arrays: [N, K] rows on the points axis,
+    halo owner/local replicated."""
+    from jax.sharding import NamedSharding
+
+    row = NamedSharding(mesh, P(dist.POINTS_AXIS, None))
+    rep = NamedSharding(mesh, P())
+    return (
+        jax.device_put(jnp.asarray(plan.nbr_is_local), row),
+        jax.device_put(jnp.asarray(plan.nbr_loc), row),
+        jax.device_put(jnp.asarray(plan.nbr_halo), row),
+        jax.device_put(jnp.asarray(plan.halo_owner), rep),
+        jax.device_put(jnp.asarray(plan.halo_local), rep),
+    )
+
+
+def solve_pair_halo(
+    mesh: Mesh,
+    cam_kind: str,
+    data: D_.PairData,
+    hyper: D_.Hyper,
+    state0: D_.PairState,
+    n_iterations: int,
+    cg_iters: int = 50,
+    max_trials: int = 6,
+    tau: float = 1e-5,
+    spec: D_.ModelSpec = D_.ModelSpec(),
+) -> lm_ops.LMResult:
+    """One-call convenience wrapper: plan, permute, place, solve, unpermute.
+
+    Semantically identical to ``dist.solve_pair_distributed`` (same LM
+    policy, same block system, same PCG tolerance) up to the CG iteration
+    count actually taken; the communication pattern is the halo exchange
+    described in the module docstring.
+    """
+    plan = plan_halo(
+        np.asarray(state0.p1), np.asarray(data.nbr), np.asarray(data.nbr_mask),
+        mesh.devices.size,
+    )
+    data_p = permute_data(data, plan)
+    state_p = permute_state(state0, plan)
+    data_p, state_p = dist.shard_pair(mesh, data_p, state_p)
+    plan_arrays = place_plan(mesh, plan)
+    run = build_halo_solver(
+        mesh, cam_kind, n_iterations, cg_iters=cg_iters,
+        max_trials=max_trials, tau=tau, spec=spec,
+    )
+    result = run(data_p, hyper, state_p, plan_arrays)
+    return result._replace(state=unpermute_state(result.state, plan))
