@@ -74,3 +74,33 @@ def test_pcg_flex_solves_spd_system():
     b = jnp.asarray(rng.normal(size=(40,)), jnp.float32)
     x = block_system.pcg_flex(lambda v: A @ v, b, lambda r: r / jnp.diag(A), 100, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(A @ x), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
+def test_batch_aware_backend_dispatch(monkeypatch):
+    """Dense Cholesky only while the BATCH-wide Jacobian fits the budget;
+    big batches of large pairs fall over to the block-PCG backend instead of
+    materializing batch x [R, dim] (the vmapped-serving OOM guard)."""
+    assert deformable.use_dense_backend(240, 32, batch=1)
+    assert deformable.use_dense_backend(240, 32, batch=16)
+    # N~680 is under DENSE_DIM_LIMIT alone but ~6 GB of J across 16 pairs.
+    assert not deformable.use_dense_backend(680, 32, batch=16)
+    assert not deformable.use_dense_backend(1000, 32, batch=1)  # dim limit
+
+    # Functional: force the budget low so a small batch dispatches to PCG,
+    # and check the batched solve still descends.
+    from tests.test_deformable import make_problem
+
+    data, state0, hyper, _ = make_problem(n_side=4)
+    import jax.numpy as jnp
+    import jax
+
+    stack = lambda x: jnp.broadcast_to(jnp.asarray(x)[None], (2,) + jnp.shape(jnp.asarray(x)))
+    bd = jax.tree_util.tree_map(stack, data)
+    bs0 = jax.tree_util.tree_map(stack, state0)
+    monkeypatch.setattr(deformable, "DENSE_J_BUDGET_BYTES", 1)
+    n = int(data.kp1.shape[0])
+    assert not deformable.use_dense_backend(n, int(data.nbr.shape[1]), batch=2)
+    res = deformable.solve_pairs("KB8", bd, hyper, bs0, n_iterations=3)
+    costs = np.asarray(res.cost)
+    assert np.all(np.isfinite(costs))
+    assert np.all(costs <= np.asarray(res.initial_cost) * 1.01)

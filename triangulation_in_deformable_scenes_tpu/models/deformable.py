@@ -639,8 +639,31 @@ DENSE_DIM_LIMIT = 4096
 CG_ITERS = 64
 CG_RTOL = 1e-2
 
+# Dense-backend Jacobian budget across a vmapped pair batch. The dense path
+# materializes J [R, dim] per pair instance (R = N*(6+K)); vmap multiplies
+# that by the batch size, so a batch of large-but-under-DENSE_DIM_LIMIT pairs
+# can exceed HBM long before a single pair would. 2 GB leaves headroom on a
+# 16 GB v5e chip for the speculative-trial Cholesky workspaces.
+DENSE_J_BUDGET_BYTES = 2 << 30
 
-@functools.partial(jax.jit, static_argnames=("cam_kind", "n_iterations", "spec"))
+
+def use_dense_backend(n: int, K: int, batch: int = 1) -> bool:
+    """Static backend dispatch: dense equilibrated Cholesky vs block-PCG.
+
+    Dense requires BOTH the single-instance tangent dim under
+    ``DENSE_DIM_LIMIT`` and the batch-wide Jacobian footprint under
+    ``DENSE_J_BUDGET_BYTES`` (the vmapped-serving OOM guard).
+    """
+    dim = _tangent_dim(n)
+    if dim > DENSE_DIM_LIMIT:
+        return False
+    rows = n * (6 + K) + 2
+    return batch * rows * dim * 4 <= DENSE_J_BUDGET_BYTES
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam_kind", "n_iterations", "spec", "batch_hint")
+)
 def solve_pair(
     cam_kind: str,
     data: PairData,
@@ -648,18 +671,22 @@ def solve_pair(
     state0: PairState,
     n_iterations: int,
     spec: ModelSpec = ModelSpec(),
+    batch_hint: int = 1,
 ) -> lm_ops.LMResult:
     """One ``arapOptimization`` inner solve: n_iterations of LM.
 
     Backend dispatch is automatic on the (static) problem size: dense
-    equilibrated Cholesky below ``DENSE_DIM_LIMIT`` tangent dims, block-sparse
-    ELLPACK assembly + block-Jacobi PCG above (same damping loop either way,
-    ``ops/lm.py``; system assembly in ``models/block_system.py``).
+    equilibrated Cholesky while ``use_dense_backend`` holds (tangent dim
+    under ``DENSE_DIM_LIMIT`` AND the batch-wide Jacobian under the memory
+    budget — ``batch_hint`` is the vmapped batch size when called through
+    ``solve_pairs``), block-sparse ELLPACK assembly + block-Jacobi PCG
+    otherwise (same damping loop either way, ``ops/lm.py``; system assembly
+    in ``models/block_system.py``).
     """
     from . import block_system as bs_
 
     n = state0.p1.shape[0]
-    if _tangent_dim(n) > DENSE_DIM_LIMIT:
+    if not use_dense_backend(n, int(data.nbr.shape[-1]), batch_hint):
         make_step = bs_.make_block_step(cam_kind, data, hyper, spec, CG_ITERS, CG_RTOL)
         res = lm_ops.lm_optimize_general(
             make_step,
@@ -701,16 +728,18 @@ def solve_pairs(
     ``hyper`` may be a single Hyper (shared weights) or carry a leading pair
     axis as well.
 
-    Memory note: the dense backend materializes the Jacobian J
-    [R, 6N+8] per pair (R = N*(6+K); ~40 MB f32 at N=240, K=32 -- see
-    ``build_system``), and vmap multiplies that by the batch size. Near
-    ``DENSE_DIM_LIMIT`` (N~680) J is ~400 MB per pair: cap the batch or
-    shard it over a pairs mesh (``parallel.dist.shard_pairs``) before
-    batching large pairs.
+    Memory: the dense backend materializes the Jacobian J [R, 6N+8] per pair
+    (R = N*(6+K); ~40 MB f32 at N=240, K=32 -- see ``build_system``) and
+    vmap multiplies that by the batch size, so the backend dispatch here is
+    batch-aware: ``use_dense_backend(n, K, batch)`` falls over to the
+    block-sparse PCG backend once the batch-wide J footprint would exceed
+    ``DENSE_J_BUDGET_BYTES`` (e.g. 16 pairs at N~680 -> ~6 GB dense, so the
+    batch runs on PCG instead of OOMing).
     """
     hyper_axis = None if jnp.ndim(hyper.rep_w) == 0 else 0
+    batch = int(data.kp1.shape[0])
     return jax.vmap(
-        lambda d, h, s: solve_pair(cam_kind, d, h, s, n_iterations, spec),
+        lambda d, h, s: solve_pair(cam_kind, d, h, s, n_iterations, spec, batch),
         in_axes=(0, hyper_axis, 0),
     )(data, hyper, state0)
 
