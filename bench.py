@@ -35,13 +35,13 @@ honest baseline, and are what ``vs_baseline`` uses.
 
 Roofline fields (all *device* time, measured by amortizing each kernel over
 a jitted fori_loop with a loop-carried data dependency -- dispatch and
-tunnel latency excluded):
+tunnel latency excluded). Every ``*_pct_peak`` is relative to a ceiling
+MEASURED on the same chip in the same process (the tunnel reports platform
+"axon", not the TPU generation, so spec constants are not trusted):
  - dense-LM iteration at the fixture size vs the measured f32 GEMM rate;
- - the block-sparse CG matvec at the committed large-N scale vs the HBM
-   bandwidth roofline (it is bandwidth-bound: ~0.5 flop/byte);
- - the 2048x2048 Hamming matmul vs the bf16 MXU peak;
-plus ``measured_f32_gemm_tflops`` anchoring the achievable GEMM rate on
-this chip (TPU v5e: 197 TFLOP/s bf16 spec, f32 runs at 1/4 rate).
+ - the block-sparse CG matvec at the committed large-N scale vs the
+   measured HBM stream bandwidth (it is bandwidth-bound: ~0.5 flop/byte);
+ - the 2048x2048 Hamming matmul vs the measured bf16 GEMM rate.
 """
 
 import dataclasses
@@ -52,6 +52,16 @@ import sys
 import time
 
 REF_DATA = "/root/reference/Data"
+
+# Soft wall-clock budget: once exceeded, remaining (lower-priority) phases
+# are skipped so the one JSON line ALWAYS prints. Tunnel latency to the
+# axon chip varies run to run; the budget keeps worst case bounded.
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1350"))
+_T_START = time.time()
+
+
+def log(msg):
+    print(f"[bench +{time.time() - _T_START:7.1f}s] {msg}", file=sys.stderr, flush=True)
 FIXTURE = os.path.join(REF_DATA, "SinteticDataBase", "20cm Depth", "Gradual",
                        "10 mm gaussian + rigid", "3")
 # Committed row "20,90 Gradual 10 10", Errors 3.csv:11 (es_ES commas -> dots).
@@ -61,10 +71,12 @@ BASELINES = {
     "FarPoints": {"initial": 11.50, "final": 28.85},
 }
 
-# TPU v5e public specs (cloud.google.com/tpu/docs/v5e): 197 bf16 TFLOP/s,
-# 819 GB/s HBM BW. f32 GEMM rate is measured at runtime (~= bf16/4).
-V5E_BF16_TFLOPS = 197.0
-V5E_HBM_GBPS = 819.0
+# The chip behind the axon tunnel reports platform "axon", not its TPU
+# generation, so NO spec constants are trusted: the roofline ceilings
+# (f32 GEMM rate, bf16 GEMM rate, HBM stream bandwidth) are measured at
+# runtime on the same chip and every *_pct_peak field is relative to the
+# measured ceiling. (For orientation: v5e spec is 197 bf16 TFLOP/s /
+# 819 GB/s; v6e is 918 / 1640.)
 
 
 def sweep_cfg(cfg, location):
@@ -81,7 +93,9 @@ def sweep_cfg(cfg, location):
 
 def devtime(make_body, x0, reps=30):
     """Per-call DEVICE time: run ``make_body`` reps times inside one jitted
-    fori_loop (loop-carried dependency serializes iterations; one dispatch)."""
+    fori_loop (loop-carried dependency serializes iterations; one dispatch).
+    Min of 3 timed dispatches -- the tunnel adds run-to-run jitter that a
+    single sample can triple."""
     import jax
 
     @jax.jit
@@ -90,10 +104,13 @@ def devtime(make_body, x0, reps=30):
 
     r = run(x0)
     jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    r = run(x0)
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / reps
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = run(x0)
+        jax.block_until_ready(r)
+        best = min(best, time.perf_counter() - t0)
+    return best / reps
 
 
 def devtime_marginal(make_body, x0, k_hi=9, reps=20):
@@ -104,7 +121,10 @@ def devtime_marginal(make_body, x0, k_hi=9, reps=20):
     every non-fused op inside a compiled loop carries a fixed ~0.3 ms step
     overhead, which swamps micro-kernel timings; the slope removes the fixed
     part and yields the true marginal kernel time the roofline compares
-    against."""
+    against. Pick ``k_hi`` so that (k_hi-1) kernel applications are well
+    above the per-step noise (~5% of the fixed part), else the slope is
+    unresolvable: the caller gets ``None`` rather than a garbage number.
+    """
     def chain(k):
         def body(c):
             for _ in range(k):
@@ -114,7 +134,10 @@ def devtime_marginal(make_body, x0, k_hi=9, reps=20):
 
     t1 = chain(1)
     tk = chain(k_hi)
-    return max((tk - t1) / (k_hi - 1), 1e-9), t1
+    slope = (tk - t1) / (k_hi - 1)
+    if slope <= 0.02 * t1 / (k_hi - 1):  # below the timing noise floor
+        return None, t1
+    return slope, t1
 
 
 def accuracy_runs(cfg, seeds=(0, 1, 2)):
@@ -139,6 +162,8 @@ def accuracy_runs(cfg, seeds=(0, 1, 2)):
             "initial_mm": sum(initials) / len(initials),
             "wall_s": sum(walls) / len(walls),
         }
+        log(f"accuracy {location}: {out[location]['initial_mm']:.2f} -> "
+            f"{out[location]['final_mm']:.2f} mm ({out[location]['wall_s']:.0f} s/run)")
     return out
 
 
@@ -308,12 +333,38 @@ def roofline(cfg, lm_iters_per_sec):
 
     out = {}
 
-    # --- measured f32 GEMM rate (the realistic dense-math peak) ---
+    # --- measured ceilings on THIS chip (platform "axon" hides the TPU
+    # generation; trust nothing but measurements) ---
     m = 2048
-    big = jnp.asarray(np.random.default_rng(0).normal(size=(m, m)) * 1e-3, jnp.float32)
-    t_gemm, _ = devtime_marginal(lambda v: (v @ big) * (1.0 / m), big, reps=10)
+    rng0 = np.random.default_rng(0)
+    big = jnp.asarray(rng0.normal(size=(m, m)) * 1e-3, jnp.float32)
+    t_gemm, _ = devtime_marginal(lambda v: (v @ big) * (1.0 / m), big, k_hi=17, reps=10)
+    if t_gemm is None:
+        return {"roofline_note": "GEMM slope below timing resolution; roofline skipped"}
     f32_gemm_tflops = 2 * m**3 / t_gemm / 1e12
     out["measured_f32_gemm_tflops"] = round(f32_gemm_tflops, 1)
+
+    bigh = big.astype(jnp.bfloat16)
+    t_gemm16, _ = devtime_marginal(
+        lambda v: jax.lax.dot_general(
+            v, bigh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16) * (1.0 / m),
+        bigh, k_hi=17, reps=10)
+    bf16_gemm_tflops = (2 * m**3 / t_gemm16 / 1e12) if t_gemm16 else None
+    if bf16_gemm_tflops:
+        out["measured_bf16_gemm_tflops"] = round(bf16_gemm_tflops, 1)
+
+    # HBM stream bandwidth: saxpy over 32M f32 (reads x,y; writes x -> 384 MB).
+    # The optimization_barrier stops XLA from fusing the chained applications
+    # into one elementwise kernel (which would read memory once and zero the
+    # marginal slope).
+    xs = jnp.ones((32 * 1024 * 1024,), jnp.float32)
+    t_bw, _ = devtime_marginal(
+        lambda x: jax.lax.optimization_barrier(x * 0.999999 + xs * 1e-9),
+        xs, k_hi=9, reps=10)
+    hbm_gbps = (3 * 4 * 32 * 1024 * 1024 / t_bw / 1e9) if t_bw else None
+    if hbm_gbps:
+        out["measured_hbm_gbps"] = round(hbm_gbps, 0)
 
     # --- dense LM iteration at the fixture size (end-to-end throughput:
     # includes speculative trials, cost evals and the damping logic) ---
@@ -327,7 +378,7 @@ def roofline(cfg, lm_iters_per_sec):
     t_iter = 1.0 / max(lm_iters_per_sec, 1e-9)
     out["dense_lm_gflops_per_iter"] = round(flops_iter / 1e9, 1)
     out["dense_lm_achieved_tflops"] = round(flops_iter / t_iter / 1e12, 2)
-    out["dense_lm_pct_f32_peak"] = round(100 * flops_iter / t_iter / 1e12 / f32_gemm_tflops, 1)
+    out["dense_lm_pct_peak"] = round(100 * flops_iter / t_iter / 1e12 / f32_gemm_tflops, 1)
 
     # --- block-sparse CG matvec at the committed large-N scale ---
     cb, _, datab, stateb, hyperb = _fixture_problem(cfg, n_pairs=2600)
@@ -344,17 +395,22 @@ def roofline(cfg, lm_iters_per_sec):
 
     v0 = jnp.ones((dimb,), jnp.float32)
     t_mv, t_mv_e2e = devtime_marginal(mv_body, v0, reps=10)
-    flops_mv = 2 * nb * Kb * 36 + 2 * nb * 36 + 4 * nb * 48 + 2 * dimb
-    bytes_mv = 4 * (nb * Kb * 36 + nb * 36 + nb * 48 * 2 + nb * Kb * 6 + 4 * dimb)
-    out["cg_matvec_us"] = round(t_mv * 1e6, 1)
     out["cg_matvec_e2e_us"] = round(t_mv_e2e * 1e6, 1)
-    out["cg_matvec_achieved_gbps"] = round(bytes_mv / t_mv / 1e9, 1)
-    out["cg_matvec_pct_hbm_roofline"] = round(100 * bytes_mv / t_mv / 1e9 / V5E_HBM_GBPS, 1)
-    out["cg_matvec_note"] = ("bandwidth-bound (~0.5 flop/byte; roofline = HBM BW). "
-                             "*_us is the marginal kernel time; *_e2e_us includes the "
-                             "fixed per-step overhead of the axon-tunneled chip")
+    if t_mv is not None:
+        bytes_mv = 4 * (nb * Kb * 36 + nb * 36 + nb * 48 * 2 + nb * Kb * 6 + 4 * dimb)
+        out["cg_matvec_us"] = round(t_mv * 1e6, 1)
+        out["cg_matvec_achieved_gbps"] = round(bytes_mv / t_mv / 1e9, 1)
+        if hbm_gbps:
+            out["cg_matvec_pct_peak"] = round(100 * bytes_mv / t_mv / 1e9 / hbm_gbps, 1)
+        out["cg_matvec_note"] = ("bandwidth-bound (~0.5 flop/byte; roofline = measured "
+                                 "HBM stream BW). *_us is the marginal kernel time; "
+                                 "*_e2e_us includes the fixed per-step overhead of the "
+                                 "axon-tunneled chip")
 
-    # --- Hamming matmul 2048x2048x256 (bf16 exact; see matching.hamming_matrix) ---
+    # --- Hamming matmul 2048x2048x256 (bf16 exact; see matching.hamming_matrix).
+    # One 2048x2048x256 bf16 MXU matmul is only ~11 us at spec peak, so a
+    # 64-application chain (k_hi=65) is needed to resolve the slope above the
+    # ~0.3 ms fixed per-step overhead of the tunneled chip. ---
     rng = np.random.default_rng(0)
     bits = jnp.asarray(rng.integers(0, 2, size=(2048, 256)).astype(np.float32))
 
@@ -363,12 +419,16 @@ def roofline(cfg, lm_iters_per_sec):
         # feed 256 columns back as the next operand (dependent chain)
         return x + D[:, :256] * 1e-20
 
-    t_h, t_h_e2e = devtime_marginal(ham_body, bits, reps=10)
-    flops_h = 2 * 2048 * 2048 * 256
-    out["hamming_2048_us"] = round(t_h * 1e6, 1)
+    t_h, t_h_e2e = devtime_marginal(ham_body, bits, k_hi=65, reps=10)
+    flops_h = 2 * 2048 * 2048 * 256  # the rank-1 corrections are negligible
     out["hamming_2048_e2e_us"] = round(t_h_e2e * 1e6, 1)
-    out["hamming_achieved_tflops"] = round(flops_h / t_h / 1e12, 1)
-    out["hamming_pct_bf16_peak"] = round(100 * flops_h / t_h / 1e12 / V5E_BF16_TFLOPS, 1)
+    if t_h is not None:
+        out["hamming_2048_us"] = round(t_h * 1e6, 1)
+        out["hamming_achieved_tflops"] = round(flops_h / t_h / 1e12, 1)
+        if bf16_gemm_tflops:
+            out["hamming_pct_peak"] = round(100 * flops_h / t_h / 1e12 / bf16_gemm_tflops, 1)
+    else:
+        out["hamming_note"] = "slope below timing resolution even at k_hi=65"
     return out
 
 
@@ -610,7 +670,12 @@ def virtual_scaling_check(n=16384, small_n=2048):
     scaling). Two modes: "halo" (Morton partition + shard_map boundary
     exchange, parallel/halo.py) and "naive" (partitioner all-gather)."""
 
+    t_phase = time.time()
+
     def one(ndev, size, mode):
+        if time.time() - t_phase > 600:  # phase budget: skip the tail runs
+            log(f"virtual_scaling: budget hit, skipping {mode}@{size}x{ndev}")
+            return None
         env = dict(os.environ)
         env.update({
             "JAX_PLATFORMS": "cpu",
@@ -622,11 +687,14 @@ def virtual_scaling_check(n=16384, small_n=2048):
         try:
             out = subprocess.run(
                 [sys.executable, "-c", _SCALING_SNIPPET],
-                capture_output=True, text=True, timeout=900, env=env,
+                capture_output=True, text=True, timeout=300, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            return json.loads(out.stdout.strip().splitlines()[-1])
-        except Exception:
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            log(f"virtual_scaling: {mode}@{size}x{ndev} -> {r}")
+            return r
+        except Exception as e:
+            log(f"virtual_scaling: {mode}@{size}x{ndev} FAILED ({type(e).__name__})")
             return None
 
     res = {}
@@ -658,16 +726,36 @@ def main():
     cfg = load_config(os.path.join(REF_DATA, "Simulation.yaml"))
 
     t_start = time.time()
+    log("accuracy_runs (3 locations x 3 seeds, committed sweep budget)")
     acc = accuracy_runs(cfg)
     extras = {}
-    extras.update(shipped_yaml_run(cfg))
-    extras.update(phase_timings(cfg))
-    extras.update(roofline(cfg, extras["lm_iters_per_sec"]))
-    extras.update(big_problem_throughput(cfg))
-    extras.update(serving_throughput(cfg))
-    extras.update(matching_sweep())
-    extras.update(frontend_timing())
-    extras.update(virtual_scaling_check())
+
+    # Remaining phases in priority order; each is skipped (with a note) once
+    # the soft budget is exhausted, so the JSON line always prints.
+    phases = [
+        ("shipped_yaml", lambda: shipped_yaml_run(cfg)),
+        ("phase_timings", lambda: phase_timings(cfg)),
+        ("bigN", lambda: big_problem_throughput(cfg)),
+        ("roofline", lambda: roofline(cfg, extras.get("lm_iters_per_sec", 300.0))),
+        ("virtual_scaling", virtual_scaling_check),
+        ("matching_sweep", matching_sweep),
+        ("serving", lambda: serving_throughput(cfg)),
+        ("frontend", frontend_timing),
+    ]
+    skipped = []
+    for name, fn in phases:
+        if time.time() - t_start > BENCH_BUDGET_S:
+            skipped.append(name)
+            continue
+        log(name)
+        try:
+            extras.update(fn())
+        except Exception as e:
+            log(f"{name} FAILED: {type(e).__name__}: {e}")
+            extras[f"{name}_error"] = f"{type(e).__name__}: {e}"
+    if skipped:
+        extras["skipped_phases"] = skipped
+        log(f"budget exhausted; skipped {skipped}")
 
     far = acc["FarPoints"]
     two = acc["TwoPoints"]

@@ -9,6 +9,8 @@ block headers (INITIAL / "i / n" / FINAL MEASUREMENTS).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .metrics import AbsoluteErrors, PixelsError, RelativeErrors
@@ -32,6 +34,12 @@ class ExperimentJournal:
     def __init__(self, path: str, echo: bool = False):
         self.path = path
         self.echo = echo
+        # The shipped YAMLs point at ./Data/Experiment.txt relative to the
+        # CWD; create the directory so the default invocation works from
+        # anywhere (the reference binary silently writes nothing here).
+        parent = os.path.dirname(self.path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         # Truncate, like the reference's header write (Mapping.cc:263 opens
         # without ios::app; everything later appends).
         open(self.path, "w").close()
