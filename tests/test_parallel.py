@@ -202,9 +202,13 @@ def test_halo_solve_matches_unsharded():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_halo_matvec_matches_block_matvec():
     """One shard_map halo solve of (H + lam I) x = -g agrees tightly with the
-    single-device block-system solve (no LM accept/reject amplification)."""
+    single-device block-system solve (no LM accept/reject amplification).
+
+    Slow tier: ~50s, all shard_map compile time. The fast tier keeps halo
+    coverage via test_halo_solve_matches_unsharded (solve-level, looser)."""
     from triangulation_in_deformable_scenes_tpu.models import block_system as bs
     from triangulation_in_deformable_scenes_tpu.parallel import halo
 
