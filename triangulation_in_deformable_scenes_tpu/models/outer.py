@@ -41,11 +41,16 @@ Documented deviations from the reference outer loop:
    -- visible in the reference's own committed sweeps, where final 3D error
    often exceeds the initial one while pixel sigma stays locked near 1).
    The reference's update-magnitude criterion never fires in this regime.
-3. One-sided discrepancy objective with a minimal-displacement tie-break:
+3. One-sided discrepancy objective with a maximal-regularization tie-break:
    residual pixel sigma is penalized only above the 1 px noise floor
    (Morozov's principle; the reference's two-sided log^2 rewards injecting
-   error into a below-noise-accurate map), and among weights below the
-   floor the search prefers the candidate that moved the map least.
+   error into a below-noise-accurate map), and among weights at/below the
+   floor the search prefers the candidate whose refined state has the
+   LOWEST deformation-model energy -- the textbook discrepancy principle
+   (maximal regularization at the discrepancy boundary). On exactly-rigid
+   scenes this recovers the reference's sub-noise-floor denoising (the
+   rigid solution has zero energy and still sits at the floor); on
+   deforming scenes rigidification is vetoed by the floor itself.
 """
 
 from __future__ import annotations
@@ -222,6 +227,7 @@ def nm_weight_search_device(
     xtol_rel: float,
     xtol_abs: float,
     probe: bool = True,
+    e_ref=None,
 ):
     """One outer round's weight search + final solve, entirely on device.
 
@@ -254,10 +260,24 @@ def nm_weight_search_device(
         z = z_template.at[free_idx].set(zf)
         return jnp.where(wide, 10.0**z, z)
 
-    # Scene scale for the displacement tie-break (mean measured depth).
+    # Scene scale for the displacement fallback (mean measured depth).
     vm = data.valid.astype(dtype)
     n_valid = jnp.maximum(jnp.sum(vm), 1.0)
     d_scale = jnp.maximum(jnp.sum(vm * data.depth1) / n_valid, 1e-2)
+
+    # Tie-break normalizer: the deformation-model energy of a reference
+    # state. deformation_optimization passes its ROUND-1 snapshot energy so
+    # tie-break values stay commensurable across rounds (the monotone outer
+    # acceptance compares them); direct callers default to this round's
+    # snapshot.
+    unit_hyper = deformable.Hyper(
+        rep_w=jnp.asarray(1.0, dtype), arap_w=jnp.asarray(1.0, dtype),
+        depth_sigma=sigma_d, global_w=jnp.asarray(1.0, dtype),
+        alpha=alpha, beta=beta,
+    )
+    if e_ref is None:
+        e_ref = jnp.sum(deformable._arap_energies(data, state0, spec, unit_hyper))
+    e_ref = jnp.maximum(jnp.asarray(e_ref, dtype), TINY)
 
     def objective_and_state(zf):
         w = from_search(zf)
@@ -272,25 +292,27 @@ def nm_weight_search_device(
         # two-sided log^2 objective (nloptOptimization.cc:29-31) actively
         # REWARDS deforming a below-noise-accurate map until sigma rises to
         # 1 px -- injected error its weak linear-space search rarely finds,
-        # but a working search exploits immediately. Among weights already
-        # fitting below the floor, prefer the least map displacement
-        # (epsilon-weighted tie-break, scale-normalized).
+        # but a working search exploits immediately.
         f = (
             jnp.maximum(jnp.log(jnp.maximum(s1, TINY)), 0.0) ** 2
             + jnp.maximum(jnp.log(jnp.maximum(s2, TINY)), 0.0) ** 2
         )
+        # Tie-break among candidates at/below the floor: prefer the MOST
+        # REGULARIZED solution -- lowest deformation-model energy of the
+        # refined state -- which is the textbook discrepancy principle
+        # (maximal regularization at the discrepancy boundary). On
+        # exactly-rigid scenes this selects the rigid denoiser (energy -> 0
+        # while sigma stays at the floor); on genuinely deforming scenes
+        # rigidification is vetoed by the floor itself (millimeters of
+        # suppressed deformation cost several px of reprojection). A
+        # 1000x-smaller displacement term remains as the final fallback for
+        # degenerate meshes with no edges (e_res identically 0).
+        e_res = jnp.sum(deformable._arap_energies(data, res.state, spec, unit_hyper))
         disp = jnp.sum(
             vm * (jnp.linalg.norm(res.state.p1 - state0.p1, axis=-1)
                   + jnp.linalg.norm(res.state.p2 - state0.p2, axis=-1))
         ) / n_valid
-        # Caveat (documented, accepted): ``disp`` is measured from THIS
-        # round's snapshot ``state0``, so objective values compared across
-        # outer rounds (the monotone acceptance in refine_map) are not
-        # strictly commensurable in their tie-break component. The 1e-3
-        # epsilon keeps the term orders of magnitude below any real
-        # discrepancy difference; it only ever decides genuine ties, where
-        # either choice is acceptable.
-        f = f + 1e-3 * disp / d_scale
+        f = f + 1e-3 * e_res / e_ref + 1e-6 * disp / d_scale
         return jnp.where(jnp.isfinite(f), f, jnp.inf).astype(dtype)
 
     objective = jax.vmap(objective_and_state)
@@ -432,6 +454,7 @@ def deformation_optimization(
     update = 100.0
     rounds = 0
     f_prev = None  # best weight-search objective of the previous round
+    e_ref = None  # round-1 snapshot energy, fixed tie-break normalizer
     for i in range(1, cfg.n_optimizations + 1):
         if update < 1e-4 * n_points:
             break
@@ -527,6 +550,17 @@ def deformation_optimization(
                 sigma_d = deformable.model_depth_sigma(cfg.model)
                 if sigma_d is None:
                     sigma_d = float(cfg.depth_sigma)
+                if e_ref is None:
+                    # Round-1 snapshot energy: fixed normalizer for the
+                    # energy tie-break, keeping objective values
+                    # commensurable across rounds (see the search docstring).
+                    e_ref = float(jnp.sum(deformable._arap_energies(
+                        data, state, spec,
+                        deformable.Hyper(
+                            rep_w=1.0, arap_w=1.0, depth_sigma=sigma_d,
+                            global_w=1.0, alpha=float(cfg.alpha), beta=float(cfg.beta),
+                        ),
+                    )))
                 nm_iters = max(1, (int(cfg.nlopt_max_eval) - (len(free_idx) + 1)) * 2 // 3)
                 w_best, new_state, f_best = nm_weight_search_device(
                     cam_kind,
@@ -546,6 +580,7 @@ def deformation_optimization(
                     xtol_rel=float(cfg.nlopt_rel_tol),
                     xtol_abs=float(cfg.nlopt_abs_tol),
                     probe=(i == 1),
+                    e_ref=e_ref,
                 )
                 f_best = float(f_best)
                 if f_prev is not None and not (f_best < f_prev - 1e-6):
