@@ -44,19 +44,27 @@ Documented deviations from the reference outer loop:
 3. One-sided discrepancy objective with a maximal-regularization tie-break:
    residual pixel sigma is penalized only above the 1 px noise floor
    (Morozov's principle; the reference's two-sided log^2 rewards injecting
-   error into a below-noise-accurate map), and among weights at/below the
-   floor the search prefers the candidate whose refined state has the
-   LOWEST deformation-model energy -- the textbook discrepancy principle
-   (maximal regularization at the discrepancy boundary). On exactly-rigid
-   scenes this recovers the reference's sub-noise-floor denoising (the
-   rigid solution has zero energy and still sits at the floor); on
-   deforming scenes rigidification is vetoed by the floor itself.
+   error into a below-noise-accurate map). The selection is lexicographic:
+   any candidate at/below the floor ("feasible") beats every above-floor
+   one; above-floor candidates are ordered purely by the discrepancy;
+   feasible candidates are ordered by a BOUNDED maximal-regularization
+   tie-break (lowest deformation-model energy of the refined state -- the
+   textbook discrepancy principle) with a displacement fallback.
+4. Rigid-hypothesis model selection (``models/rigid.py``): after the outer
+   loop, the scene-is-rigid hypothesis is solved exactly (deformation
+   constrained to one SE3) and replaces the general solution when it
+   passes the same discrepancy tests the search uses (pixel sigma at the
+   floor, physical depth residual at the depth-noise level). This is what
+   delivers the reference's sub-noise-floor denoising on rigid scenes
+   (its committed rigid cells reach 0.84-1.7 mm from ~2.5 mm initial)
+   without adopting the two-sided objective that collapses deforming ones.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -90,6 +98,10 @@ class OuterConfig(NamedTuple):
     # ARAP_depth_* / ARAP_not_scaled_depth / ARAP_depth_onlyTriang /
     # Elastic / HyperElasticOdgen) -- see deformable.MODELS.
     model: str = "ARAP"
+    # Rigid-hypothesis model selection after the outer loop (models/rigid.py;
+    # module docstring deviation #4). Off restores the pure weight-search
+    # behavior.
+    rigid_select: bool = True
 
 
 @dataclasses.dataclass
@@ -98,6 +110,18 @@ class OuterResult:
     weights: np.ndarray  # final (rep, global, arap)
     rounds: int
     last_update: float
+    # True when the rigid-hypothesis candidate (models/rigid.py) replaced
+    # the general solution under the discrepancy tests.
+    rigid_accepted: bool = False
+
+
+# Rigid-hypothesis acceptance: the candidate's physical depth discrepancy
+# (rms of d/s - z, meters) may exceed neither this factor times the depth
+# noise level nor the same factor times the general solution's own
+# discrepancy -- Morozov's tau slightly above 1 to absorb estimation noise
+# in the rms itself. The pixel test has no factor: the candidate's one-sided
+# log^2 pixel discrepancy must not exceed the general solution's at all.
+RIGID_DEPTH_TAU = 1.5
 
 
 def _hyper(weights, cfg: OuterConfig) -> deformable.Hyper:
@@ -293,26 +317,29 @@ def nm_weight_search_device(
         # REWARDS deforming a below-noise-accurate map until sigma rises to
         # 1 px -- injected error its weak linear-space search rarely finds,
         # but a working search exploits immediately.
-        f = (
+        disc = (
             jnp.maximum(jnp.log(jnp.maximum(s1, TINY)), 0.0) ** 2
             + jnp.maximum(jnp.log(jnp.maximum(s2, TINY)), 0.0) ** 2
         )
-        # Tie-break among candidates at/below the floor: prefer the MOST
-        # REGULARIZED solution -- lowest deformation-model energy of the
-        # refined state -- which is the textbook discrepancy principle
-        # (maximal regularization at the discrepancy boundary). On
-        # exactly-rigid scenes this selects the rigid denoiser (energy -> 0
-        # while sigma stays at the floor); on genuinely deforming scenes
-        # rigidification is vetoed by the floor itself (millimeters of
-        # suppressed deformation cost several px of reprojection). A
-        # 1000x-smaller displacement term remains as the final fallback for
-        # degenerate meshes with no edges (e_res identically 0).
+        # LEXICOGRAPHIC selection. Candidates at/below the floor
+        # ("feasible", disc == 0) always beat above-floor ones; above-floor
+        # candidates are ordered purely by the discrepancy (offset past the
+        # feasible band); feasible candidates are ordered by a maximal-
+        # regularization tie-break -- lowest deformation-model energy of the
+        # refined state, the textbook discrepancy principle -- saturated to
+        # [0, 1) via t/(1+t) so a vanishing normalizer e_ref (exactly-rigid
+        # round-1 snapshots have energy ~ 0) bounds the term instead of
+        # letting the raw ratio dominate. A 1000x-smaller displacement
+        # fallback (also saturated) orders candidates when the mesh has no
+        # edges (e_res identically 0).
         e_res = jnp.sum(deformable._arap_energies(data, res.state, spec, unit_hyper))
+        tie = e_res / e_ref
         disp = jnp.sum(
             vm * (jnp.linalg.norm(res.state.p1 - state0.p1, axis=-1)
                   + jnp.linalg.norm(res.state.p2 - state0.p2, axis=-1))
         ) / n_valid
-        f = f + 1e-3 * e_res / e_ref + 1e-6 * disp / d_scale
+        f_feas = 1e-3 * tie / (1.0 + tie) + 1e-6 * disp / (d_scale + disp)
+        f = jnp.where(disc <= 0.0, f_feas, (1e-3 + 1e-6) + disc)
         return jnp.where(jnp.isfinite(f), f, jnp.inf).astype(dtype)
 
     objective = jax.vmap(objective_and_state)
@@ -455,6 +482,7 @@ def deformation_optimization(
     rounds = 0
     f_prev = None  # best weight-search objective of the previous round
     e_ref = None  # round-1 snapshot energy, fixed tie-break normalizer
+    data = None  # last round's PairData snapshot (reused by rigid_select)
     for i in range(1, cfg.n_optimizations + 1):
         if update < 1e-4 * n_points:
             break
@@ -605,4 +633,58 @@ def deformation_optimization(
         if on_round is not None and i != cfg.n_optimizations:
             on_round(i, state, weights)
 
-    return OuterResult(state=state, weights=weights, rounds=rounds, last_update=update)
+    # --- Rigid-hypothesis model selection (module docstring deviation #4) ---
+    # Solve the scene-is-rigid hypothesis exactly (models/rigid.py) and let
+    # the discrepancy principle pick: accept when (a) the one-sided pixel
+    # discrepancy is no worse than the general solution's (on rigid scenes
+    # both sit at the floor; on deforming ones the rigid fit pays pixels for
+    # the suppressed deformation and is vetoed) and (b) the physical depth
+    # residual stays at the depth-noise level (catches depth-directed
+    # deformation the cameras cannot see).
+    rigid_accepted = False
+    spec = deformable.MODELS.get(cfg.model, deformable.ModelSpec())
+    if cfg.rigid_select and rounds > 0 and data is not None and not spec.one_set:
+        from . import rigid as rigid_mod
+
+        sigma_d = deformable.model_depth_sigma(cfg.model)
+        if sigma_d is None:
+            sigma_d = float(cfg.depth_sigma)
+        cand, diag = rigid_mod.solve_rigid(
+            cam_kind, data, _hyper(weights, cfg), state,
+            max(30, int(cfg.n_opt_iterations)), spec,
+        )
+        s1g, s2g = rigid_mod._pixel_sigmas(cam_kind, data, state.p1, state.p2)
+        dg1, dg2 = rigid_mod.depth_discrepancy(
+            data, state.p1, state.p2, state.s1, state.s2
+        )
+
+        def one_sided(s1, s2):
+            return (
+                max(np.log(max(float(s1), 1e-300)), 0.0) ** 2
+                + max(np.log(max(float(s2), 1e-300)), 0.0) ** 2
+            )
+
+        f_rigid = one_sided(diag.sigma1, diag.sigma2)
+        f_general = one_sided(s1g, s2g)
+        depth_rigid = max(float(diag.depth_rms1), float(diag.depth_rms2))
+        depth_general = max(float(dg1), float(dg2))
+        if (
+            np.isfinite(f_rigid)
+            and f_rigid <= f_general + 1e-9
+            and depth_rigid <= RIGID_DEPTH_TAU * max(depth_general, sigma_d)
+        ):
+            state = cand
+            rigid_accepted = True
+        if os.environ.get("TIDS_DEBUG_RIGID"):
+            print(
+                f"[rigid_select] accepted={rigid_accepted} "
+                f"sigma_px rigid=({float(diag.sigma1):.4g},{float(diag.sigma2):.4g}) "
+                f"general=({float(s1g):.4g},{float(s2g):.4g}) "
+                f"depth_rms rigid={depth_rigid*1e3:.3f}mm general={depth_general*1e3:.3f}mm "
+                f"sigma_d={sigma_d*1e3:.1f}mm kabsch_fit={float(diag.rigid_fit_rms)*1e3:.3f}mm"
+            )
+
+    return OuterResult(
+        state=state, weights=weights, rounds=rounds, last_update=update,
+        rigid_accepted=rigid_accepted,
+    )
