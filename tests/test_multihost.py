@@ -27,7 +27,12 @@ def _free_port():
 
 
 @pytest.mark.slow
-def test_two_process_distributed_solve():
+@pytest.mark.parametrize("mode", ["baseline", "halo"])
+def test_two_process_distributed_solve(mode):
+    """baseline: partitioner-lowered all-gather solve; halo: the production
+    Morton/halo shard_map PCG whose boundary-row psum crosses the process
+    boundary (VERDICT r3 item 4) -- with a device-count-indivisible N so the
+    pad_pair path is exercised on the global mesh."""
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -39,6 +44,7 @@ def test_two_process_distributed_solve():
             "TIDS_COORDINATOR": f"localhost:{port}",
             "TIDS_NUM_PROCESSES": "2",
             "TIDS_PROCESS_ID": str(pid),
+            "TIDS_WORKER_MODE": mode,
         })
         procs.append(subprocess.Popen(
             [sys.executable, "-m",

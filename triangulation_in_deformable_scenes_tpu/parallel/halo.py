@@ -107,8 +107,8 @@ def plan_halo(xy, nbr, nbr_mask, n_shards: int) -> HaloPlan:
     n, _ = nbr.shape
     if n % n_shards != 0:
         raise ValueError(
-            f"landmark count {n} not divisible by {n_shards} shards; pad the "
-            f"pair (make_pair_data already pads to a fixed N)"
+            f"landmark count {n} not divisible by {n_shards} shards; use "
+            f"pad_pair (solve_pair_halo does so automatically)"
         )
     perm = morton_perm(xy)
     inv = np.empty(n, np.int64)
@@ -141,6 +141,52 @@ def plan_halo(xy, nbr, nbr_mask, n_shards: int) -> HaloPlan:
         nbr_is_local=nbr_is_local, nbr_loc=nbr_loc, nbr_halo=nbr_halo,
         halo_owner=halo_owner, halo_local=halo_local,
     )
+
+
+def pad_pair(data: D_.PairData, state: D_.PairState, multiple: int):
+    """Pad the landmark axis of (data, state) to the next multiple.
+
+    Real pairs have arbitrary N (``make_pair_data`` pads only to the mesh
+    degree bucket, not to a shard multiple); the sharded paths need
+    N % n_shards == 0. Padding rows are invalid (``valid=False``, no mesh
+    edges) so every residual they touch is masked to zero; their POSITIONS
+    are the valid centroid -- a finite point in front of both cameras -- so
+    masked projections stay NaN-free (0 * NaN would poison reductions).
+    Returns (data, state, n_original).
+    """
+    n = int(data.kp1.shape[0])
+    pad = (-n) % multiple
+    if pad == 0:
+        return data, state, n
+    vm = np.asarray(data.valid, bool)
+    centroid = np.asarray(state.p1)[vm].mean(axis=0) if vm.any() else np.array([0.0, 0.0, 1.0])
+
+    def rows(x, fill):
+        x = np.asarray(x)
+        if x.ndim == 0 or x.shape[0] != n:
+            return jnp.asarray(x)
+        block = np.broadcast_to(np.asarray(fill, x.dtype), (pad,) + x.shape[1:])
+        return jnp.asarray(np.concatenate([x, block], axis=0))
+
+    data = data._replace(
+        kp1=rows(data.kp1, [0.0, 0.0]),
+        kp2=rows(data.kp2, [0.0, 0.0]),
+        inv_sigma2_1=rows(data.inv_sigma2_1, 1.0),
+        inv_sigma2_2=rows(data.inv_sigma2_2, 1.0),
+        depth1=rows(data.depth1, 1.0),
+        depth2=rows(data.depth2, 1.0),
+        valid=rows(data.valid, False),
+        nbr=rows(data.nbr, -1),
+        nbr_mask=rows(data.nbr_mask, False),
+        wcot=rows(data.wcot, 0.0),
+        Ri=rows(data.Ri, np.eye(3)),
+    )
+    state = state._replace(p1=rows(state.p1, centroid), p2=rows(state.p2, centroid))
+    return data, state, n
+
+
+def unpad_state(state: D_.PairState, n: int) -> D_.PairState:
+    return state._replace(p1=state.p1[:n], p2=state.p2[:n])
 
 
 def permute_data(data: D_.PairData, plan: HaloPlan) -> D_.PairData:
@@ -332,8 +378,10 @@ def solve_pair_halo(
     Semantically identical to ``dist.solve_pair_distributed`` (same LM
     policy, same block system, same PCG tolerance) up to the CG iteration
     count actually taken; the communication pattern is the halo exchange
-    described in the module docstring.
+    described in the module docstring. Arbitrary N is padded to the shard
+    multiple (``pad_pair``) and stripped from the returned state.
     """
+    data, state0, n_orig = pad_pair(data, state0, int(mesh.devices.size))
     plan = plan_halo(
         np.asarray(state0.p1), np.asarray(data.nbr), np.asarray(data.nbr_mask),
         mesh.devices.size,
@@ -347,4 +395,64 @@ def solve_pair_halo(
         max_trials=max_trials, tau=tau, spec=spec,
     )
     result = run(data_p, hyper, state_p, plan_arrays)
-    return result._replace(state=unpermute_state(result.state, plan))
+    return result._replace(state=unpad_state(unpermute_state(result.state, plan), n_orig))
+
+
+def place_plan_global(mesh: Mesh, plan: HaloPlan):
+    """Multi-process variant of ``place_plan``: every process holds the same
+    host plan; shards are assembled per process via
+    ``multihost.make_global_array``."""
+    from . import multihost
+
+    row = P(dist.POINTS_AXIS, None)
+    rep = P()
+    return (
+        multihost.make_global_array(np.asarray(plan.nbr_is_local), mesh, row),
+        multihost.make_global_array(np.asarray(plan.nbr_loc), mesh, row),
+        multihost.make_global_array(np.asarray(plan.nbr_halo), mesh, row),
+        multihost.make_global_array(np.asarray(plan.halo_owner), mesh, rep),
+        multihost.make_global_array(np.asarray(plan.halo_local), mesh, rep),
+    )
+
+
+def solve_pair_halo_global(
+    mesh: Mesh,
+    cam_kind: str,
+    data: D_.PairData,
+    hyper: D_.Hyper,
+    state0: D_.PairState,
+    n_iterations: int,
+    cg_iters: int = 50,
+    max_trials: int = 6,
+    tau: float = 1e-5,
+    spec: D_.ModelSpec = D_.ModelSpec(),
+):
+    """Cross-process ``solve_pair_halo``: the points mesh spans every device
+    of every process (``multihost.points_submesh``), so the per-matvec
+    boundary-row psum rides ICI within a host and DCN between hosts --
+    SURVEY.md §7.7's DCN-spanning landmark sharding.
+
+    Every process must call with the SAME host-side (data, state0) (the
+    plan is deterministic, so all processes compute identical layouts).
+    Returns (LMResult with the state still in the PERMUTED+PADDED global
+    layout, plan, n_original): eagerly unpermuting a multi-process global
+    array would require non-addressable gathers; callers that need the
+    refined points fetch them inside their own jit (costs are replicated
+    scalars and can be read directly).
+    """
+    from . import multihost
+
+    data, state0, n_orig = pad_pair(data, state0, int(mesh.devices.size))
+    plan = plan_halo(
+        np.asarray(state0.p1), np.asarray(data.nbr), np.asarray(data.nbr_mask),
+        mesh.devices.size,
+    )
+    data_p = permute_data(data, plan)
+    state_p = permute_state(state0, plan)
+    data_p, state_p = multihost.shard_pair_global(mesh, data_p, state_p)
+    plan_arrays = place_plan_global(mesh, plan)
+    run = build_halo_solver(
+        mesh, cam_kind, n_iterations, cg_iters=cg_iters,
+        max_trials=max_trials, tau=tau, spec=spec,
+    )
+    return run(data_p, hyper, state_p, plan_arrays), plan, n_orig

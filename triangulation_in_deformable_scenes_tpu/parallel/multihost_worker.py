@@ -75,24 +75,45 @@ def main() -> int:
     import jax
     import numpy as np
 
-    from . import dist
+    from . import dist, halo
+
+    # "baseline": partitioner-lowered all-gather solve
+    # (dist.solve_pair_distributed); "halo": the production Morton/halo
+    # shard_map PCG (halo.solve_pair_halo_global) whose boundary-row psum
+    # crosses the process boundary over DCN.
+    mode = os.environ.get("TIDS_WORKER_MODE") or (
+        sys.argv[1] if len(sys.argv) > 1 else "baseline"
+    )
 
     n_dev = len(jax.devices())
-    # Landmark grid divisible by the global device count.
-    n_side = 4
-    while (n_side * n_side) % n_dev:
-        n_side += 1
+    # Landmark grid intentionally NOT divisible by the device count in halo
+    # mode (5x5 = 25 over 8 devices): exercises pad_pair's shard-multiple
+    # padding on the global mesh.
+    if mode == "halo":
+        n_side = 5
+    else:
+        n_side = 4
+        while (n_side * n_side) % n_dev:
+            n_side += 1
     data, hyper, state0 = _tiny_problem(n_side)
 
     mesh = multihost.points_submesh()
-    sdata, sstate = multihost.shard_pair_global(mesh, data, state0)
-    res = dist.solve_pair_distributed("KB8", sdata, hyper, sstate, n_iterations=2, cg_iters=25)
+    if mode == "halo":
+        res, _plan, _n = halo.solve_pair_halo_global(
+            mesh, "KB8", data, hyper, state0, n_iterations=2, cg_iters=25
+        )
+    else:
+        sdata, sstate = multihost.shard_pair_global(mesh, data, state0)
+        res = dist.solve_pair_distributed(
+            "KB8", sdata, hyper, sstate, n_iterations=2, cg_iters=25
+        )
 
     # Costs are replicated -- every process holds the full scalar.
     cost = float(res.cost)
     cost0 = float(res.initial_cost)
     ok = bool(np.isfinite(cost)) and cost <= cost0 * 1.01
     print(json.dumps({
+        "mode": mode,
         "process_id": jax.process_index(),
         "num_processes": jax.process_count(),
         "global_devices": n_dev,
