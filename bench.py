@@ -122,8 +122,9 @@ def devtime_marginal(make_body, x0, k_hi=9, reps=20):
     overhead, which swamps micro-kernel timings; the slope removes the fixed
     part and yields the true marginal kernel time the roofline compares
     against. Pick ``k_hi`` so that (k_hi-1) kernel applications are well
-    above the per-step noise (~5% of the fixed part), else the slope is
-    unresolvable: the caller gets ``None`` rather than a garbage number.
+    above the per-step timing noise (the 2% of t1 used below), else the
+    slope is unresolvable: the caller gets ``None`` rather than a garbage
+    number.
     """
     def chain(k):
         def body(c):
@@ -292,11 +293,19 @@ def phase_timings(cfg):
     t_outer_round = timed(nm_round, reps=2)
 
     # Steady-state LM iteration throughput (dense backend at fixture size).
-    reps = 5
+    # Dispatches are pipelined (one barrier after all reps): the production
+    # consumer of this solve -- the on-device weight search -- issues its
+    # solves inside one jit with no host sync between them, so a per-call
+    # block_until_ready would charge the axon tunnel's ~25 ms host round
+    # trip to every 25-iteration solve and measure the tunnel, not the chip.
+    reps = 8
     deformable.solve_pair("KB8", data, hyper, state, n_inner).cost.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(reps):
-        deformable.solve_pair("KB8", data, hyper, state, n_inner).cost.block_until_ready()
+    costs = [
+        deformable.solve_pair("KB8", data, hyper, state, n_inner).cost
+        for _ in range(reps)
+    ]
+    jax.block_until_ready(costs)
     lm_iters_per_sec = n_inner * reps / (time.perf_counter() - t0)
 
     # Profiler trace of one outer round (SURVEY section 5 tracing commitment).
@@ -365,14 +374,20 @@ def roofline(cfg, lm_iters_per_sec):
     hbm_gbps = (3 * 4 * 32 * 1024 * 1024 / t_bw / 1e9) if t_bw else None
     if hbm_gbps:
         out["measured_hbm_gbps"] = round(hbm_gbps, 0)
-    # The chip self-reports "TPU v5 lite" (v5e: 197 bf16 TFLOP/s, 819 GB/s)
-    # yet BOTH measured ceilings land ~15% above spec by the same factor --
-    # a uniform host-clock scale in this sandbox, not super-spec silicon.
-    # Absolute rates are therefore ~15% optimistic; all *_pct_peak ratios
-    # (kernel vs ceiling, same clock) are unaffected.
-    out["roofline_clock_note"] = ("measured ceilings ~1.15x v5e spec (compute AND "
-                                  "bandwidth): uniform sandbox clock scale; pct_peak "
-                                  "ratios are clock-invariant")
+    # The chip self-reports "TPU v5 lite" (v5e: 197 bf16 TFLOP/s, 819 GB/s).
+    # Report the actual measured/spec ratios instead of assuming them: when
+    # both land above spec by a common factor that is a host-clock scale in
+    # this sandbox, and all *_pct_peak ratios (kernel vs ceiling, same
+    # clock) are unaffected either way.
+    ratios = []
+    if bf16_gemm_tflops:
+        ratios.append(f"bf16 gemm {bf16_gemm_tflops / 197.0:.2f}x spec")
+    if hbm_gbps:
+        ratios.append(f"hbm {hbm_gbps / 819.0:.2f}x spec")
+    out["roofline_clock_note"] = (
+        "measured ceilings vs v5e spec: " + ", ".join(ratios)
+        + "; pct_peak ratios are clock-invariant"
+    ) if ratios else "ceilings unmeasured"
 
     # --- dense LM iteration at the fixture size (end-to-end throughput:
     # includes speculative trials, cost evals and the damping logic) ---
@@ -383,10 +398,15 @@ def roofline(cfg, lm_iters_per_sec):
     R = n * (4 + 2 + K) + 2
     T = 10  # speculative trials per iteration
     flops_iter = 2 * R * dim**2 + 2 * R * dim + T * (dim**3 / 3 + 8 * dim**2)
-    t_iter = 1.0 / max(lm_iters_per_sec, 1e-9)
     out["dense_lm_gflops_per_iter"] = round(flops_iter / 1e9, 1)
-    out["dense_lm_achieved_tflops"] = round(flops_iter / t_iter / 1e12, 2)
-    out["dense_lm_pct_peak"] = round(100 * flops_iter / t_iter / 1e12 / f32_gemm_tflops, 1)
+    if lm_iters_per_sec is None:
+        # phase_timings did not run (budget exhaustion / failure): emit no
+        # pct-of-peak rather than fabricating a throughput.
+        out["dense_lm_note"] = "lm_iters_per_sec unavailable; pct_peak skipped"
+    else:
+        t_iter = 1.0 / max(lm_iters_per_sec, 1e-9)
+        out["dense_lm_achieved_tflops"] = round(flops_iter / t_iter / 1e12, 2)
+        out["dense_lm_pct_peak"] = round(100 * flops_iter / t_iter / 1e12 / f32_gemm_tflops, 1)
 
     # --- block-sparse CG matvec at the committed large-N scale ---
     cb, _, datab, stateb, hyperb = _fixture_problem(cfg, n_pairs=2600)
@@ -744,7 +764,7 @@ def main():
         ("shipped_yaml", lambda: shipped_yaml_run(cfg)),
         ("phase_timings", lambda: phase_timings(cfg)),
         ("bigN", lambda: big_problem_throughput(cfg)),
-        ("roofline", lambda: roofline(cfg, extras.get("lm_iters_per_sec", 300.0))),
+        ("roofline", lambda: roofline(cfg, extras.get("lm_iters_per_sec"))),
         ("virtual_scaling", virtual_scaling_check),
         ("matching_sweep", matching_sweep),
         ("serving", lambda: serving_throughput(cfg)),

@@ -199,3 +199,20 @@ def test_solve_pairs_batched_matches_single():
     np.testing.assert_allclose(
         np.asarray(res.state.p1[0]), np.asarray(ra.state.p1), rtol=1e-2, atol=1e-4
     )
+
+
+def test_block_assembly_matches_jacfwd_oracle():
+    """build_system (per-edge local Jacobians, scatter-set J) must equal the
+    full-width-JVP oracle build_system_jacfwd across the model family
+    (f64 CPU: exact up to solver-noise; the dispatch gate sends one_set
+    models to the oracle itself)."""
+    data, state0, hyper, _ = make_problem(n_side=4)
+    for name in ("ARAP", "ARAP_NoGlobal", "Elastic", "HyperElasticOdgen",
+                 "ARAP_not_scaled_depth", "ARAP_depth_onlyTriang", "ARAP_OneSet"):
+        spec = deformable.MODELS[name]
+        H1, g1 = deformable.build_system("KB8", data, hyper, state0, spec)
+        H2, g2 = deformable.build_system_jacfwd("KB8", data, hyper, state0, spec)
+        scale = float(jnp.max(jnp.abs(H2))) or 1.0
+        assert float(jnp.max(jnp.abs(H1 - H2))) / scale < 1e-6, name
+        gscale = float(jnp.max(jnp.abs(g2))) or 1.0
+        assert float(jnp.max(jnp.abs(g1 - g2))) / gscale < 1e-6, name

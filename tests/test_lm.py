@@ -85,7 +85,9 @@ def test_speculative_trials_match_sequential_policy():
         return jnp.dot(r, r)
 
     x0 = jnp.zeros(8)
-    spec = lm.lm_optimize(build_system, cost, lambda x, d: x + d, x0, n_iterations=12)
+    spec = lm.lm_optimize_speculative(
+        build_system, cost, lambda x, d: x + d, x0, n_iterations=12
+    )
 
     def make_step(state):
         H, g = build_system(state)

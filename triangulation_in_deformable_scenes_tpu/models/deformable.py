@@ -563,26 +563,20 @@ def _edge_blocks(
     return blocks
 
 
-def build_system(
+def build_system_jacfwd(
     cam_kind: str,
     data: PairData,
     hyper: Hyper,
     state: PairState,
     spec: ModelSpec = ModelSpec(),
 ):
-    """Gauss-Newton H, g at ``state`` with robust weights frozen there.
-
-    TPU-shaped assembly: materialize the dense Jacobian J of the weighted
-    residual vector with forward-mode AD (a [dim]-wide batched JVP -- pure
-    vectorized arithmetic) and form H = J^T J, g = J^T r as single MXU
-    matmuls. The earlier per-edge block scatter (`_scatter_system`, kept for
-    ``assemble_diag``) lowered to serialized TPU scatters and dominated the
-    LM iteration (~21 ms device time at N=240 vs ~1 ms for this path); it
-    also made dense-vs-CG linearizations subtly different, while this H is
-    BY CONSTRUCTION the same operator the matrix-free path applies.
-    J is [R, dim] with R = O(N*(4+2+K)): ~40 MB at the fixture size, and the
-    dense backend hands off to CG above DENSE_DIM_LIMIT anyway.
-    """
+    """Gauss-Newton (H, g) via a [dim]-wide batched JVP of the full weighted
+    residual vector. Reference implementation for build_system (exact to
+    1e-12 relative against the block assembly in f64, tests/test_deformable)
+    -- the dim-wide forward sweep re-evaluates every camera/Lie/mesh
+    intermediate with a full-width tangent batch, which measures ~35%
+    slower per LM iteration than the per-edge local-Jacobian route at the
+    fixture size; kept as the independent oracle."""
     n = state.p1.shape[0]
     dim = _tangent_dim(n)
     dtype = state.p1.dtype
@@ -596,6 +590,53 @@ def build_system(
     H = J.T @ J
     g = J.T @ r
     return H, g
+
+
+def build_system(
+    cam_kind: str,
+    data: PairData,
+    hyper: Hyper,
+    state: PairState,
+    spec: ModelSpec = ModelSpec(),
+):
+    """Gauss-Newton H, g at ``state`` with robust weights frozen there.
+
+    TPU-shaped assembly from per-edge LOCAL Jacobians (``_edge_blocks``:
+    tiny jacfwds over each edge family's own <=18 coordinates, vmapped over
+    edges) scattered row-wise into the dense J -- a scatter-SET with unique
+    destinations per row, which lowers to one cheap scatter per family,
+    unlike the old per-edge H block scatter-ADD (`_scatter_system`, kept
+    for ``assemble_diag``) that serialized (~21 ms at N=240). H = J^T J and
+    g = J^T r are single MXU matmuls. Equivalent to ``build_system_jacfwd``
+    (1e-12 relative in f64) at ~0.65x its device time: the full-width JVP
+    re-evaluates every intermediate with a [dim]-wide tangent batch, while
+    the local blocks differentiate each edge only along the coordinates it
+    actually touches.
+    J is [R, dim] with R = O(N*(4+2+K)): ~40 MB at the fixture size, and
+    the dense backend hands off to CG above DENSE_DIM_LIMIT anyway.
+    """
+    if spec.one_set:
+        # One-set models alias the p2 tangent onto p1, so a single edge row
+        # carries DUPLICATE column indices whose contributions must sum --
+        # scatter-set semantics would drop one. The full-width JVP handles
+        # the aliasing naturally.
+        return build_system_jacfwd(cam_kind, data, hyper, state, spec)
+    n = state.p1.shape[0]
+    dim = _tangent_dim(n)
+    Js, rs = [], []
+    for L, r_, idx in _edge_blocks(cam_kind, data, hyper, state, spec):
+        M, rr, dd = L.shape
+        Jf = jnp.zeros((M, rr, dim), L.dtype)
+        Jf = Jf.at[
+            jnp.arange(M)[:, None, None],
+            jnp.arange(rr)[None, :, None],
+            jnp.broadcast_to(idx[:, None, :], (M, rr, dd)),
+        ].set(L)
+        Js.append(Jf.reshape(M * rr, dim))
+        rs.append(r_.reshape(-1))
+    J = jnp.concatenate(Js)
+    r = jnp.concatenate(rs)
+    return J.T @ J, J.T @ r
 
 
 def assemble_diag(
@@ -643,7 +684,7 @@ CG_RTOL = 1e-2
 # materializes J [R, dim] per pair instance (R = N*(6+K)); vmap multiplies
 # that by the batch size, so a batch of large-but-under-DENSE_DIM_LIMIT pairs
 # can exceed HBM long before a single pair would. 2 GB leaves headroom on a
-# 16 GB v5e chip for the speculative-trial Cholesky workspaces.
+# 16 GB v5e chip for the damped-solve Cholesky workspaces.
 DENSE_J_BUDGET_BYTES = 2 << 30
 
 
@@ -722,8 +763,8 @@ def solve_pairs(
     The reference processes exactly one keyframe pair per run
     (``g2oBundleAdjustment.cc:640-641`` loops over pairs sequentially); a
     serving deployment refines many pairs (e.g. many endoscopy sequences)
-    concurrently, so the whole LM solve -- including the speculative trial
-    batch -- is vmapped over the pair axis. Pairs must share the padded
+    concurrently, so the whole LM solve -- including its sequential trial loop
+    (lockstep across the batch under vmap) -- is vmapped over the pair axis. Pairs must share the padded
     shapes (N, K); pad ``valid``/``nbr_mask`` to batch heterogeneous pairs.
     ``hyper`` may be a single Hyper (shared weights) or carry a leading pair
     axis as well.

@@ -342,7 +342,13 @@ def nm_weight_search_device(
         f = jnp.where(disc <= 0.0, f_feas, (1e-3 + 1e-6) + disc)
         return jnp.where(jnp.isfinite(f), f, jnp.inf).astype(dtype)
 
-    objective = jax.vmap(objective_and_state)
+    # Sequential batch evaluation: lax.map, not vmap. Each objective
+    # evaluation is a full inner LM solve whose trial while-loop runs in
+    # lockstep under vmap (every lane pays the max trial count of the
+    # batch, measured ~1.3x per-candidate inflation); mapping them
+    # sequentially inside the jit costs none of that and the solves are
+    # large enough to keep the chip busy on their own.
+    objective = lambda zs: jax.lax.map(objective_and_state, zs)
 
     # Opening probe (first outer round only): one stratified batch across the
     # bounded search box. The discrepancy objective is flat (noise-level
@@ -380,6 +386,14 @@ def nm_weight_search_device(
     A_R, G_E, R_C, S_S = 1.0, 2.0, 0.5, 0.5  # standard NM coefficients
 
     def body(carry):
+        """LAZY Nelder-Mead step: identical decision tree to the textbook
+        (and to the previous all-candidates-speculative version -- same
+        trajectory), but candidates are only SOLVED when the tree actually
+        inspects them: the reflection always (1 solve), then exactly one of
+        expansion / outside / inside contraction under a lax.cond (~60% of
+        iterations), and the shrink set only on contraction failure (rare).
+        The speculative batch paid 4+m solves per step for an average of
+        ~1.7 used -- real compute, not overhead, on the inner-LM scale."""
         simplex, fvals, it, _ = carry
         order = jnp.argsort(fvals)
         simplex = simplex[order]
@@ -391,19 +405,29 @@ def nm_weight_search_device(
         xe = jnp.clip(xo + G_E * (xr - xo), zlb_f, zub_f)
         xoc = jnp.clip(xo + R_C * (xr - xo), zlb_f, zub_f)
         xic = jnp.clip(xo - R_C * (xo - worst), zlb_f, zub_f)
-        shrink = jnp.clip(best[None] + S_S * (simplex[1:] - best[None]), zlb_f, zub_f)
-        cands = jnp.concatenate([jnp.stack([xr, xe, xoc, xic]), shrink], axis=0)
-        fc = objective(cands)
-        fr, fe, foc, fic = fc[0], fc[1], fc[2], fc[3]
-        fshr = fc[4:]
+        fr = objective_and_state(xr)
 
-        accept_expand = (fr < fb) & (fe < fr)
-        accept_reflect = ((fb <= fr) & (fr < fsw)) | ((fr < fb) & ~(fe < fr))
+        need_e = fr < fb
         try_oc = (fr >= fsw) & (fr < fw)
-        accept_oc = try_oc & (foc <= fr)
         try_ic = (fr >= fsw) & ~(fr < fw)
+        need_second = need_e | try_oc | try_ic
+        x2 = jnp.where(need_e, xe, jnp.where(try_oc, xoc, xic))
+        inf = jnp.asarray(jnp.inf, dtype)
+        f2 = jax.lax.cond(need_second, objective_and_state, lambda _: inf, x2)
+        fe = jnp.where(need_e, f2, inf)
+        foc = jnp.where(try_oc, f2, inf)
+        fic = jnp.where(try_ic, f2, inf)
+
+        accept_expand = need_e & (fe < fr)
+        accept_reflect = ((fb <= fr) & (fr < fsw)) | (need_e & ~(fe < fr))
+        accept_oc = try_oc & (foc <= fr)
         accept_ic = try_ic & (fic < fw)
         do_shrink = (try_oc & ~accept_oc) | (try_ic & ~accept_ic)
+
+        shrink = jnp.clip(best[None] + S_S * (simplex[1:] - best[None]), zlb_f, zub_f)
+        fshr = jax.lax.cond(
+            do_shrink, objective, lambda z: jnp.full((m,), inf, dtype), shrink
+        )
 
         new_pt = jnp.where(
             accept_expand,

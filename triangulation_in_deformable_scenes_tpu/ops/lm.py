@@ -161,17 +161,49 @@ def lm_optimize(
 ) -> LMResult:
     """Dense-normal-equation LM: ``build_system(state) -> (H, g)``.
 
-    SPECULATIVE trial evaluation: g2o's rejection schedule is deterministic
-    given (lam, nu) -- trial k uses lam_k = lam * nu^k * 2^(k(k-1)/2) -- so
-    instead of a sequential accept/reject while-loop (each trial a Cholesky
-    + a full cost evaluation; on hard inputs LM burns most of its
-    ``max_trials`` budget every iteration), ALL candidate damped solves and
-    their costs run as one vmapped batch per iteration and the first
-    accepted trial is selected. Bit-for-bit the same accept decisions and
-    lambda evolution as the sequential loop; ~10x fewer sequential device
-    steps on trial-heavy workloads. The matrix-free CG backend keeps the
-    sequential loop (``lm_optimize_general``) -- speculating 10 CG solves
-    would multiply its dominant cost instead of batching a cheap one.
+    Sequential trial evaluation via the shared damping loop
+    (``lm_optimize_general``): each iteration linearizes once and runs
+    g2o's accept/reject while-loop, so an iteration whose FIRST trial
+    accepts (the overwhelmingly common case) pays exactly one damped
+    Cholesky + one cost evaluation. The speculative all-trials-batched
+    variant (``lm_optimize_speculative``, same accept decisions) was this
+    function's previous implementation, motivated by per-DISPATCH overhead
+    -- but inside one compiled scan there is no per-op dispatch cost on
+    TPU, and measured device time is ~2x lower sequentially (41 vs 85 ms
+    for 25 iterations at the benchmark fixture size; the ladder's 10
+    Choleskys per iteration are real compute, not overhead).
+    """
+
+    def make_step(state):
+        H, g = build_system(state)
+        return (lambda lam: solve_damped_cholesky(H, g, lam)), g, jnp.max(jnp.diag(H))
+
+    return lm_optimize_general(
+        make_step, robust_cost, apply_delta, state0, n_iterations,
+        tau=tau, max_trials=max_trials,
+    )
+
+
+def lm_optimize_speculative(
+    build_system: Callable,
+    robust_cost: Callable,
+    apply_delta: Callable,
+    state0,
+    n_iterations: int,
+    tau: float = 1e-5,
+    max_trials: int = 10,
+) -> LMResult:
+    """Speculative-trial dense LM (retained alternative; see lm_optimize).
+
+    g2o's rejection schedule is deterministic given (lam, nu) -- trial k
+    uses lam_k = lam * nu^k * 2^(k(k-1)/2) -- so ALL candidate damped
+    solves and their costs can run as one vmapped batch per iteration with
+    the first accepted trial selected: the same accept decisions and
+    lambda evolution as the sequential loop. Useful when the workload is
+    genuinely trial-heavy (most iterations reject several times) or when
+    per-step dispatch overhead dominates (e.g. eager/step-wise execution);
+    in the compiled scan the sequential form is ~2x faster because trials
+    rarely reject (tests/test_lm.py pins the policy equivalence).
     """
     F0_init = robust_cost(state0)
     k = jnp.arange(max_trials)

@@ -1,0 +1,291 @@
+"""Fused damped-Cholesky solve as a single Pallas TPU kernel.
+
+Motivation (VERDICT r3 items 2-3): every dense LM iteration solves one
+damped system (H + lam I) x = -g (sequential-trial loop, ``ops/lm.py``).
+Lowered through XLA, ``cho_factor``/``cho_solve`` run the blocked
+factorization as a long chain of panel kernels at ~0.5 TFLOP/s -- ~2 ms at
+the benchmark fixture's 1448-dim system, the dominant term of the LM
+iteration. This kernel fuses equilibration, the blocked factorization, the
+triangular solves and one iterative-refinement step into ONE ``pallas_call``
+with everything VMEM-resident; the input H buffer is aliased to an output
+and factored IN PLACE, so a 1536-padded system needs one [D, D] buffer
+(9.4 MB) instead of two and stays inside the 16 MB VMEM budget.
+
+Numerical contract == ``ops.lm.solve_damped_cholesky``:
+    A   = H + lam I
+    As  = s A s            with s = rsqrt(diag(A))   (Jacobi equilibration)
+    x0  = s . chol_solve(As, -g . s)
+    x   = x0 + s . chol_solve(As, (-g - A x0) . s)   (one refinement step)
+(A x0 is reconstructed from the factor, A x = s^-1 L L^T (x0 / s), because
+the factorization destroyed A.)
+
+Algorithm: right-looking blocked Cholesky with 128x128 tiles -- diagonal
+tiles factored by a masked 128-step fori (Mosaic cannot dynamic-slice
+values, so pivot/column extraction uses masked reductions), panel TRSM and
+trailing SYRK as MXU matmuls against the stored inverse diagonal tiles;
+block forward/backward substitution reuses those inverses. The reference
+has no counterpart (g2o delegates to Eigen's sparse solver on CPU,
+g2oBundleAdjustment.cc:618-630).
+
+MEASURED NEGATIVE RESULT (r4, in-scan chained marginals on the v5e):
+XLA's cho_factor/cho_solve runs 0.57 ms at dim 728 and 0.87 ms at 1448;
+this kernel runs 0.70 / 1.06 ms -- ~20% SLOWER, because the factorization's
+critical path (one pivot per column) serializes 128 masked [128, 128] VPU
+steps per diagonal tile and those, not the MXU SYRK updates, dominate at
+these sizes. XLA's panel chain is already near this algorithm's sequential
+floor. The kernel is therefore NOT dispatched by ``lm.solve_damped_cholesky``
+(production keeps XLA); it stays as a tested, honest benchmark for the
+fusion hypothesis VERDICT r3 item 3 raised -- the hypothesis holds where
+the op is bandwidth-bound with re-read state (see the block-PCG kernel in
+``ops/pallas_pcg.py``), not for a compute-serial factorization. An earlier
+variant batching a 10-trial damping ladder in one kernel lost 3.7 vs 2.2 ms
+for the same reason before the sequential-trial LM made the ladder moot.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B = 128  # tile edge (MXU/VPU native)
+
+# Dispatch window for lm.solve_damped_cholesky: below the minimum the XLA
+# factorization is already cheap; above the maximum the in-place [D, D]
+# buffer would not fit VMEM alongside the workspaces.
+PALLAS_MIN_DIM = 1024
+PALLAS_MAX_DIM = 1792
+
+
+def _factor_diag_tile(a):
+    """Unblocked Cholesky of one [B, B] SPD tile: returns lower L.
+
+    128 fori steps of the outer-product form. Mosaic cannot lower
+    dynamic_slice on VALUES, so pivot/column extraction is done with masked
+    reductions over the full tile (VPU-friendly; no scalar indexing)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+
+    def step(j, a):
+        is_j = (rows == j) & (cols == j)
+        ajj = jnp.sum(jnp.where(is_j, a, 0.0))
+        pivot = jax.lax.rsqrt(jnp.maximum(ajj, 1e-30))
+        colj = jnp.sum(jnp.where(cols == j, a, 0.0), axis=1)  # [B] = a[:, j]
+        col = jnp.where(rows[:, 0] >= j, colj * pivot, 0.0)
+        # Trailing update A[j+1:, j+1:] -= col col^T (masked to the
+        # strictly-lower-right subblock).
+        upd = col[:, None] * col[None, :]
+        mask = (rows > j) & (cols > j)
+        a = jnp.where(mask, a - upd, a)
+        # Write column j of L: a[:, j] = col for rows >= j.
+        a = jnp.where((cols == j) & (rows >= j), col[:, None], a)
+        return a
+
+    a = jax.lax.fori_loop(0, B, step, a)
+    # Zero the strict upper triangle (L only).
+    return jnp.where(rows >= cols, a, 0.0)
+
+
+def _inv_lower_tile(l):
+    """Inverse of a lower-triangular [B, B] tile by forward substitution,
+    one row per fori step (vectorized over the B columns of the identity
+    simultaneously: X solves L X = I). Masked reductions replace dynamic
+    row/scalar indexing (unsupported on values in Mosaic)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+
+    def step(j, x):
+        # x_j = (I_j - L[j, :j] @ X[:j]) / l_jj   for the whole row j of X.
+        rowj = jnp.sum(jnp.where(rows == j, l, 0.0), axis=0)  # [B] = l[j, :]
+        ljj = jnp.sum(jnp.where((rows == j) & (cols == j), l, 0.0))
+        lrow = jnp.where(cols[0] < j, rowj, 0.0)
+        acc = jnp.dot(lrow[None, :], x, preferred_element_type=jnp.float32)[0]
+        ej = (cols[0] == j).astype(l.dtype)
+        xj = (ej - acc) / ljj
+        return jnp.where(rows == j, xj[None, :], x)
+
+    return jax.lax.fori_loop(0, B, step, jnp.zeros_like(l))
+
+
+def _damped_solve_kernel(g_ref, lam_ref, h_ref, a_ref, x_ref, linv_ref, y_ref, s_ref):
+    """Factor A := s (H + lam I) s in place and solve with refinement.
+
+    ``h_ref`` (the aliased input) and ``a_ref`` (output 0) are the SAME
+    buffer: a_ref enters holding H and leaves holding the factor L; only
+    a_ref is touched. x_ref receives the refined solution of
+    (H + lam I) x = -g.
+    """
+    del h_ref  # aliased to a_ref; read through a_ref before overwriting
+    D = a_ref.shape[0]
+    NB = D // B
+    lam = lam_ref[0, 0]
+
+    rowsD = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
+    colsD = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+    eye_mask = rowsD == colsD
+
+    # --- equilibrated damped matrix, in place ---
+    hdiag = jnp.sum(jnp.where(eye_mask, a_ref[:, :], 0.0), axis=1, keepdims=True)
+    s = jax.lax.rsqrt(jnp.maximum(hdiag + lam, 1e-30))  # [D, 1]
+    s_ref[:, :] = s
+    a_ref[:, :] = jnp.where(
+        eye_mask, 1.0, a_ref[:, :] * s * s.reshape(1, D)
+    )
+
+    # --- blocked right-looking Cholesky in a_ref ---
+    def fact_block(k, _):
+        off = pl.multiple_of(k * B, B)
+        lkk = _factor_diag_tile(a_ref[pl.ds(off, B), pl.ds(off, B)])
+        a_ref[pl.ds(off, B), pl.ds(off, B)] = lkk
+        linv = _inv_lower_tile(lkk)
+        linv_ref[k] = linv
+
+        def panel(i, _):
+            poff = pl.multiple_of(i * B, B)
+
+            @pl.when(i > k)
+            def _():
+                p = jnp.dot(
+                    a_ref[pl.ds(poff, B), pl.ds(off, B)], linv.T,
+                    preferred_element_type=jnp.float32,
+                )
+                a_ref[pl.ds(poff, B), pl.ds(off, B)] = p
+
+                def trail(j, _):
+                    toff = pl.multiple_of(j * B, B)
+
+                    @pl.when((j > k) & (j <= i))
+                    def _():
+                        q = a_ref[pl.ds(toff, B), pl.ds(off, B)]
+                        a_ref[pl.ds(poff, B), pl.ds(toff, B)] = (
+                            a_ref[pl.ds(poff, B), pl.ds(toff, B)]
+                            - jnp.dot(p, q.T, preferred_element_type=jnp.float32)
+                        )
+                    return 0
+
+                jax.lax.fori_loop(0, NB, trail, 0)
+            return 0
+
+        jax.lax.fori_loop(0, NB, panel, 0)
+        return 0
+
+    jax.lax.fori_loop(0, NB, fact_block, 0)
+
+    # --- blocked substitution (uses stored inverse diagonal tiles) ---
+    def forward(b):  # L y = b
+        y_ref[:, :] = b
+
+        def fstep(k, _):
+            off = pl.multiple_of(k * B, B)
+            yk = jnp.dot(linv_ref[k], y_ref[pl.ds(off, B), :],
+                         preferred_element_type=jnp.float32)
+            y_ref[pl.ds(off, B), :] = yk
+
+            def upd(i, _):
+                ioff = pl.multiple_of(i * B, B)
+
+                @pl.when(i > k)
+                def _():
+                    y_ref[pl.ds(ioff, B), :] = (
+                        y_ref[pl.ds(ioff, B), :]
+                        - jnp.dot(a_ref[pl.ds(ioff, B), pl.ds(off, B)], yk,
+                                  preferred_element_type=jnp.float32)
+                    )
+                return 0
+
+            jax.lax.fori_loop(0, NB, upd, 0)
+            return 0
+
+        jax.lax.fori_loop(0, NB, fstep, 0)
+        return y_ref[:, :]
+
+    def backward(b):  # L^T x = b
+        y_ref[:, :] = b
+
+        def bstep(kk, _):
+            k = NB - 1 - kk
+            off = pl.multiple_of(k * B, B)
+            xk = jnp.dot(linv_ref[k].T, y_ref[pl.ds(off, B), :],
+                         preferred_element_type=jnp.float32)
+            y_ref[pl.ds(off, B), :] = xk
+
+            def upd(i, _):
+                ioff = pl.multiple_of(i * B, B)
+
+                @pl.when(i < k)
+                def _():
+                    y_ref[pl.ds(ioff, B), :] = (
+                        y_ref[pl.ds(ioff, B), :]
+                        - jnp.dot(a_ref[pl.ds(off, B), pl.ds(ioff, B)].T, xk,
+                                  preferred_element_type=jnp.float32)
+                    )
+                return 0
+
+            jax.lax.fori_loop(0, NB, upd, 0)
+            return 0
+
+        jax.lax.fori_loop(0, NB, bstep, 0)
+        return y_ref[:, :]
+
+    # Zero the (never-factored, still holding As) upper triangle in place so
+    # a_ref is exactly L and the refinement matvecs can read it directly.
+    a_ref[:, :] = jnp.where(rowsD >= colsD, a_ref[:, :], 0.0)
+
+    g = g_ref[:, :]
+    x0 = s * backward(forward(-g * s))
+    # Refinement: r = -g - (H + lam I) x0, with (H + lam I) = s^-1 As s^-1
+    # and As = L L^T reconstructed from the factor.
+    ltx = jnp.dot(a_ref[:, :].T, x0 / s, preferred_element_type=jnp.float32)
+    ax0 = jnp.dot(a_ref[:, :], ltx, preferred_element_type=jnp.float32) / s
+    x = x0 + s * backward(forward((-g - ax0) * s))
+    x_ref[:, :] = x
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def damped_solve_pallas(H, g, lam, interpret: bool = False):
+    """Solve (H + lam I) x = -g, equilibrated + refined, in one fused
+    kernel. Drop-in replacement for ``lm.solve_damped_cholesky`` within
+    the [PALLAS_MIN_DIM, PALLAS_MAX_DIM] dispatch window (dim is padded to
+    a multiple of 128 with unit diagonal / zero rhs; padded solution rows
+    are exactly zero)."""
+    dim = H.shape[0]
+    D = -(-dim // B) * B
+    pad = D - dim
+    dtype = jnp.float32
+    Hp = jnp.pad(H.astype(dtype), ((0, pad), (0, pad)))
+    if pad:
+        idx = jnp.arange(dim, D)
+        Hp = Hp.at[idx, idx].set(1.0)
+    gp = jnp.pad(g.astype(dtype), (0, pad)).reshape(D, 1)
+    lam2 = jnp.asarray(lam, dtype).reshape(1, 1)
+
+    _, x = pl.pallas_call(
+        _damped_solve_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((D, D), dtype),  # aliased factor workspace
+            jax.ShapeDtypeStruct((D, 1), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((D // B, B, B), dtype),
+            pltpu.VMEM((D, 1), dtype),
+            pltpu.VMEM((D, 1), dtype),
+        ],
+        input_output_aliases={2: 0},  # H buffer factored in place
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(D * D + (D // B) * B * B + 8 * D) * 4 + (2 << 20),
+        ),
+        interpret=interpret,
+    )(gp, lam2, Hp)
+    return x[:dim, 0].astype(H.dtype)
