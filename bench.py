@@ -596,43 +596,91 @@ def matching_sweep(sizes=(1024, 2048, 4096, 8192)):
 
 
 def frontend_timing():
-    """Jitted front-end phases on a Drunkard-sized frame (VERDICT r2 item 6)."""
+    """Jitted front-end phases on a Drunkard-sized frame (VERDICT r2 item 6;
+    per-stage breakdown + roofline context added per VERDICT r3 item 6).
+
+    Dispatches are PIPELINED (one barrier after all reps): r3's 63 ms/frame
+    was ~99% the axon tunnel's per-call host round trip -- the whole 8-level
+    pyramid extraction is ~0.6 ms of device time. Stage timings come from
+    prefix-jits (pyramid -> +score/NMS -> +top-k -> +blur), so each stage's
+    cost is the increment over the previous prefix.
+    """
     import numpy as np
     import jax
+    import jax.numpy as jnp
 
-    from triangulation_in_deformable_scenes_tpu.ops import features, matching
+    from triangulation_in_deformable_scenes_tpu.ops import features as F
+    from triangulation_in_deformable_scenes_tpu.ops import matching
 
     rng = np.random.default_rng(3)
     im = (rng.uniform(0, 180, size=(480, 640)) +
           30 * np.sin(np.arange(480)[:, None] / 7.0) * np.cos(np.arange(640)[None, :] / 5.0)
           ).astype(np.float32)
+    imj = jax.device_put(jnp.asarray(im))
 
-    def run_extract():
-        kps = features.extract(im, n_features=1000, n_scales=8, scale_factor=1.2)
-        jax.block_until_ready(kps.desc)
-        return kps
+    def piped(fn, reps=30):
+        r = fn(); jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        rs = [fn() for _ in range(reps)]
+        jax.block_until_ready(rs)
+        return (time.perf_counter() - t0) / reps
 
-    kps = run_extract()  # compile
-    t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        kps = run_extract()
-    t_extract = (time.perf_counter() - t0) / reps
+    full = lambda: F.extract(imj, n_features=1000, n_scales=8, scale_factor=1.2).desc
+    t_extract = piped(full)
+    kps = F.extract(imj, n_features=1000, n_scales=8, scale_factor=1.2)
 
-    import jax.numpy as jnp
+    # Prefix stages (each jit includes everything before it).
+    pyr = jax.jit(lambda im: F.build_pyramid(im, 8, 1.2))
+
+    @jax.jit
+    def p_nms(im):
+        return [F.eligible_corners(F.fast_score(l), 20.0, 7.0, 30) & F.nms3(F.fast_score(l))
+                for l in F.build_pyramid(im, 8, 1.2)]
+
+    @jax.jit
+    def p_topk(im):
+        outs = []
+        for l, b in zip(F.build_pyramid(im, 8, 1.2), F.features_per_level(1000, 8, 1.2)):
+            s = F.fast_score(l)
+            outs.append(F.topk_level(s, F.eligible_corners(s, 20.0, 7.0, 30) & F.nms3(s), b))
+        return outs
+
+    @jax.jit
+    def p_blur(im):
+        return [F.gaussian_blur(jnp.pad(l, F.EDGE, mode="reflect"))
+                for l in F.build_pyramid(im, 8, 1.2)]
+
+    t_pyr = piped(lambda: pyr(imj))
+    t_nms = piped(lambda: p_nms(imj))
+    t_topk = piped(lambda: p_topk(imj))
+    t_blur = piped(lambda: p_blur(imj))
+
     sf = jnp.asarray(np.full(8, 1.2) ** np.arange(8), jnp.float32)
     match_jit = jax.jit(lambda: matching.search_for_initialization(
         kps.xy, kps.desc, kps.octave, kps.valid, kps.xy, kps.desc, kps.octave,
-        kps.valid, sf, backend="xla"))
-    match_jit()[1].block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        match_jit()[1].block_until_ready()
-    t_match = (time.perf_counter() - t0) / reps
+        kps.valid, sf, backend="xla")[1])
+    t_match = piped(match_jit)
+
+    # Bandwidth context: the front-end is elementwise/stencil work over the
+    # pyramid; ~sum of level areas x (score taps + NMS + mask + blur)
+    # touched a handful of times.
+    px = sum((im.shape[0] * im.shape[1]) / (1.2 ** (2 * k)) for k in range(8))
+    approx_bytes = px * 4 * 12  # ~12 array passes over the pyramid
     return {
         "phase_extract_ms": round(t_extract * 1e3, 2),
         "phase_match_ms": round(t_match * 1e3, 2),
         "frontend_n_valid": int(np.asarray(kps.valid).sum()),
+        "frontend_stage_ms": {
+            "pyramid": round(t_pyr * 1e3, 3),
+            "score_nms": round(max(t_nms - t_pyr, 0.0) * 1e3, 3),
+            "topk": round(max(t_topk - t_nms, 0.0) * 1e3, 3),
+            "blur": round(max(t_blur - t_pyr, 0.0) * 1e3, 3),
+            "angle_desc_rest": round(
+                max(t_extract - t_topk - max(t_blur - t_pyr, 0.0), 0.0) * 1e3, 3),
+        },
+        "frontend_achieved_gbps": round(approx_bytes / t_extract / 1e9, 1),
+        "frontend_note": ("pipelined device time; r3's 63 ms/frame was the "
+                          "tunnel's per-call host round trip, not the chip"),
     }
 
 
