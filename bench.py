@@ -884,6 +884,16 @@ def virtual_scaling_check(n=16384, small_n=2048):
         res["virtual8_comm_overhead_n2048"] = round(
             halo8_small["t"] / halo1_small["t"], 3
         )
+    if res:
+        res["virtual_scaling_note"] = (
+            "virtual CPU devices share one host: the overhead ratio prices "
+            "the collective/SPMD structure, not real ICI. r4's sequential-"
+            "trial LM cut the single-device solve ~2.6x, so the (constant) "
+            "halo-exchange cost is amortized over less compute and the "
+            "ratio rose vs r3 (0.88 -> ~1.2) even though absolute comm cost "
+            "is unchanged; the halo path still beats the partitioner's "
+            "all-gather lowering (virtual8_naive_overhead)."
+        )
     return res or {"virtual8_comm_overhead": None}
 
 
