@@ -186,9 +186,6 @@ def build_block_system(
         axis=-1,
     )  # [N, K, 18]
     Ri_b = jnp.broadcast_to(data.Ri[:, None], (n, K, 3, 3))
-    vv = jax.vmap(jax.vmap(slot_fn))
-    r_slot = vv(x_slots, Ri_b, Rj, data.wcot.astype(dtype), w_edge)  # [N, K]
-
     if spec.energy == "ARAP":
         # ANALYTIC slot gradient for the ARAP family. The edge energy's
         # inner residuals are LINEAR in the points --
@@ -229,6 +226,13 @@ def build_block_system(
             g2 = zero3
             d_om = zero3
             d_up = zero3
+        # Slot energies from the same residuals (no slot_fn evaluation --
+        # skips a per-slot se3_exp): e = wcot (f.f + s.s) + g.g.
+        e_slot = data.wcot.astype(dtype) * (
+            jnp.sum(f * f, axis=-1) + jnp.sum(s_ * s_, axis=-1))
+        if spec.use_global:
+            e_slot = e_slot + jnp.sum(g * g, axis=-1)
+        r_slot = w_edge * e_slot  # [N, K]
         Jfull = jnp.concatenate(
             [
                 w2a * (-rtf + rts) - g2,  # d/d p1i
@@ -244,6 +248,9 @@ def build_block_system(
         Jfull = jax.vmap(jax.vmap(jax.jacfwd(slot_fn)))(
             x_slots, Ri_b, Rj, data.wcot.astype(dtype), w_edge
         )  # [N, K, 18]
+        r_slot = jax.vmap(jax.vmap(slot_fn))(
+            x_slots, Ri_b, Rj, data.wcot.astype(dtype), w_edge
+        )  # [N, K]
 
     Ji = Jfull[..., 0:6]
     Jj = Jfull[..., 6:12]
