@@ -374,7 +374,13 @@ def make_block_step(
 ) -> Callable:
     """LM step factory for ``ops.lm.lm_optimize_general``: assemble the block
     system once per linearization, solve each damped trial with
-    block-Jacobi PCG."""
+    block-Jacobi PCG.
+
+    Measured negative result (r4): streaming Bt in bfloat16 halves the
+    matvec's HBM bytes but DROPS end-to-end throughput 59.5 -> 46.6 LM
+    iters/s at the committed bigN scale -- the perturbed operator costs
+    more CG iterations (and occasional extra LM trials) than the
+    bandwidth saves. Keep the operator f32."""
 
     def make_step(state):
         sys = build_block_system(cam_kind, data, hyper, state, spec)
