@@ -216,3 +216,27 @@ def test_block_assembly_matches_jacfwd_oracle():
         assert float(jnp.max(jnp.abs(H1 - H2))) / scale < 1e-6, name
         gscale = float(jnp.max(jnp.abs(g2))) or 1.0
         assert float(jnp.max(jnp.abs(g1 - g2))) / gscale < 1e-6, name
+
+
+def test_masked_edge_rows_are_zero():
+    """Scatter-set correctness invariant (see build_system): padded
+    mesh-edge slots (nbr == -1, clamped to column 0 by j_safe) carry
+    DUPLICATE column indices, so with scatter-SET semantics any nonzero
+    value there would silently overwrite a real J entry instead of adding.
+    Every edge family must therefore emit identically-zero local Jacobians
+    and residuals on masked slots."""
+    data, state0, hyper, _ = make_problem()
+    n, K = data.nbr.shape
+    mask = np.asarray(data.nbr_mask).reshape(-1)
+    assert not mask.all(), "fixture must exercise padded neighbor slots"
+    for name in ("ARAP", "Elastic", "HyperElasticOdgen", "ARAP_NoGlobal"):
+        spec = deformable.MODELS[name]
+        mesh_blocks = [
+            (L, r)
+            for L, r, _idx in deformable._edge_blocks("KB8", data, hyper, state0, spec)
+            if L.shape[0] == n * K
+        ]
+        assert mesh_blocks, name
+        for L, r in mesh_blocks:
+            assert np.all(np.asarray(L)[~mask] == 0.0), name
+            assert np.all(np.asarray(r)[~mask] == 0.0), name

@@ -624,6 +624,14 @@ def build_system(
     n = state.p1.shape[0]
     dim = _tangent_dim(n)
     Js, rs = [], []
+    # INVARIANT (scatter-set correctness): masked mesh-edge rows must carry
+    # IDENTICALLY-ZERO local Jacobians and residuals. _edge_blocks clamps a
+    # padded neighbor (nbr == -1) to column 0, so a masked slot of point i
+    # scatters both p_i's and p_0's column indices; with scatter-SET
+    # semantics a nonzero value there would silently overwrite (not add to)
+    # a real entry. The w_edge mask factor inside _edge_blocks guarantees
+    # the zeros today; test_deformable.py::test_masked_edge_rows_are_zero
+    # pins the invariant for future edge families.
     for L, r_, idx in _edge_blocks(cam_kind, data, hyper, state, spec):
         M, rr, dd = L.shape
         Jf = jnp.zeros((M, rr, dim), L.dtype)

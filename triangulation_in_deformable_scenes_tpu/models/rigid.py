@@ -130,19 +130,56 @@ def residual_vector_rigid(
     # own depths (the pipeline's initial mean(d/z) is seed-biased for
     # TwoPoints/FarPoints, which would leak a coherent radial error of
     # millimeters into the rigid solution).
-    sgate = 1.0 if spec.depth in ("scaled", "scaled_squared") else 0.0
+    # The anchors stay on for EVERY spec.depth: with depth="fixed"/"none"
+    # the depth chi2 carries no (or no s-dependent) term, so without the
+    # prior the rigid solve would leave s1/s2 at whatever LM damping left
+    # them and the depth-discrepancy acceptance quantity rms(d/s - z) used
+    # by outer.rigid_select would be evaluated at an arbitrary gauge
+    # (ADVICE r4). Anchoring costs nothing for the scaled models (already
+    # on) and pins the gauge for the rest.
     r_sprior = jnp.stack(
         [
-            sgate * jnp.sqrt(data.s1_info) * (state.s1 - data.s1_prior),
-            sgate * jnp.sqrt(data.s2_info) * (state.s2 - data.s2_prior),
+            jnp.sqrt(data.s1_info) * (state.s1 - data.s1_prior),
+            jnp.sqrt(data.s2_info) * (state.s2 - data.s2_prior),
         ]
     )
     return jnp.concatenate([r_rep1, r_rep2, rd1, rd2, r_sprior])
 
 
 def robust_cost_rigid(cam_kind, data, hyper, state, spec=deformable.ModelSpec()):
-    r = residual_vector_rigid(cam_kind, data, hyper, state, spec)
-    return jnp.sum(r * r)
+    """Robustified chi2 of the rigid model -- the LM accept/reject merit.
+
+    Uses the true Huber rho(chi2) on the reprojection edges exactly like
+    ``deformable.robust_cost`` (g2o's RobustKernelHuber semantics), NOT the
+    sum of squared IRLS-weighted residuals (which equals drho*chi2 and
+    under-counts outliers past the Huber threshold; ADVICE r4). The gain
+    ratio in ``lm_optimize`` therefore shares one merit function with the
+    rest of the framework.
+    """
+    vm = data.valid.astype(state.p1.dtype)
+    p2 = _p2_of(state)
+
+    def rep_cost(p, R, t, kp, inv_s2):
+        e = kp - cam_ops.project(cam_kind, data.cam_params, lie.apply(R, t, p))
+        chi2 = jnp.sum(e * e, axis=-1) * inv_s2 * hyper.rep_w
+        rho, _ = deformable._huber_rho(chi2)
+        return jnp.sum(vm * rho)
+
+    cost = rep_cost(state.p1, data.R1w, data.t1w, data.kp1, data.inv_sigma2_1)
+    cost += rep_cost(p2, data.R2w, data.t2w, data.kp2, data.inv_sigma2_2)
+
+    info_d = 1.0 / (hyper.depth_sigma * hyper.depth_sigma)
+    ed1 = deformable._depth_errors(
+        data, state.p1, state.s1, data.R1w, data.t1w, data.depth1, spec.depth
+    )
+    ed2 = deformable._depth_errors(
+        data, p2, state.s2, data.R2w, data.t2w, data.depth2, spec.depth
+    )
+    cost += jnp.sum(vm * info_d * (ed1 * ed1 + ed2 * ed2))
+
+    cost += data.s1_info * (state.s1 - data.s1_prior) ** 2
+    cost += data.s2_info * (state.s2 - data.s2_prior) ** 2
+    return cost
 
 
 def build_system_rigid(cam_kind, data, hyper, state, spec=deformable.ModelSpec()):

@@ -53,11 +53,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 B = 128  # tile edge (MXU/VPU native)
 
-# Dispatch window for lm.solve_damped_cholesky: below the minimum the XLA
-# factorization is already cheap; above the maximum the in-place [D, D]
-# buffer would not fit VMEM alongside the workspaces.
-PALLAS_MIN_DIM = 1024
-PALLAS_MAX_DIM = 1792
+# The size window where this kernel WOULD have been the candidate had the
+# measurement gone the other way is dims ~1024-1792: below that the XLA
+# factorization is already cheap; above it the in-place [D, D] buffer would
+# not fit VMEM alongside the workspaces. Nothing dispatches here (see
+# MEASURED NEGATIVE RESULT above) -- production always uses the XLA path.
 
 
 def _factor_diag_tile(a):

@@ -207,6 +207,11 @@ def pcg_planes(
 
 
 def fits_vmem(n: int, K: int) -> bool:
+    """VMEM feasibility bound for the fused kernel at problem size (n, K).
+
+    Not a dispatch guard -- nothing dispatches to this kernel (it is a
+    measured negative result, see the module docstring); kept as the
+    documented feasibility envelope the measurements were taken inside."""
     np_ = -(-n // LANE) * LANE
     planes = (36 * K + 2 * 36 + 48 + K) * np_ * 4  # Bt + D + Dinv + C + nbr
     vectors = 10 * 6 * np_ * 4
