@@ -544,10 +544,40 @@ def roofline(cfg, lm_iters_per_sec):
     if t_h is not None:
         out["hamming_2048_us"] = round(t_h * 1e6, 1)
         out["hamming_achieved_tflops"] = round(flops_h / t_h / 1e12, 1)
-        if bf16_gemm_tflops:
-            out["hamming_pct_peak"] = round(100 * flops_h / t_h / 1e12 / bf16_gemm_tflops, 1)
+        # Op-appropriate ceiling (VERDICT r4 item 4): a plain bf16 matmul of
+        # the SAME [2048,256]x[256,2048] shape, measured identically. The
+        # 2048^3 GEMM rate is a different machine point (deeper K, other
+        # tilings) and r4's pct against it printed an impossible 106.5%.
+        bits16 = bits.astype(jnp.bfloat16)
+
+        def gemm_same_shape(x):
+            D = jax.lax.dot_general(
+                x, bits16.T, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return x + D[:, :256].astype(jnp.bfloat16) * 1e-20
+
+        t_ceil, _ = devtime_marginal(gemm_same_shape, bits16, k_hi=65, reps=10)
+        if t_ceil is not None:
+            ceil_tflops = flops_h / t_ceil / 1e12
+            out["hamming_shape_gemm_tflops"] = round(ceil_tflops, 1)
+            out["hamming_pct_peak"] = round(100 * t_ceil / t_h, 1)
+            out["hamming_pct_peak_note"] = (
+                "vs a measured plain bf16 matmul of the identical "
+                "2048x256x2048 shape (the op-appropriate ceiling)"
+            )
     else:
         out["hamming_note"] = "slope below timing resolution even at k_hi=65"
+
+    # No *_pct_peak may silently exceed 100: an over-unity ratio means the
+    # flop/byte model and the ceiling measure different machines.
+    over = {k: v for k, v in out.items()
+            if k.endswith("_pct_peak") and isinstance(v, (int, float)) and v > 100.0}
+    if over:
+        out["roofline_sanity_note"] = (
+            "over-unity pct_peak fields (model/ceiling mismatch, "
+            "investigate): " + ", ".join(f"{k}={v}" for k, v in sorted(over.items()))
+        )
     return out
 
 
@@ -939,7 +969,7 @@ def main():
     two = acc["TwoPoints"]
     inr = acc["InRays"]
     value = far["final_mm"]
-    print(json.dumps({
+    record = ({
         "metric": "sim_final_avg_3d_error",
         "value": round(value, 4),
         "unit": "mm",
@@ -962,7 +992,16 @@ def main():
         "pipeline_wall_s": round(far["wall_s"], 2),
         "bench_total_s": round(time.time() - t_start, 1),
         **extras,
-    }))
+    })
+    # Persist the FULL record (the driver keeps only a ~2 KB tail of stdout,
+    # which lost most of the r4 bench evidence -- VERDICT r4 item 4).
+    try:
+        os.makedirs("artifacts", exist_ok=True)
+        with open("artifacts/bench_full.json", "w") as f:
+            json.dump(record, f, indent=1)
+    except OSError as e:
+        record["bench_sink_error"] = str(e)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
