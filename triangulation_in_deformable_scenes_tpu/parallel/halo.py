@@ -22,12 +22,16 @@ block)"):
    O(sqrt(N·n_shards)), not like N.
 3. **shard_map PCG**: the damped-system solve runs inside ``jax.shard_map``
    over the points axis. Each matvec exchanges ONLY the [B, 6] boundary rows
-   (owners scatter their rows into a zero buffer, one ``psum`` shares it)
-   plus two scalar psums for the CG dots and the shared 8-dim
-   (scales + global-SE3) block. Off-shard neighbor reads index the halo
-   buffer; on-shard reads index the local block.
+   (owners scatter their rows into a zero buffer; ONE psum shares them fused
+   with the 8-dim shared-block reduction), and the heavy [n_loc, K, 6, 6]
+   neighbor contraction reads local values only — the halo-dependent part
+   is a perimeter-sparse edge list applied as a gather + scatter-add AFTER
+   the exchange, so the dominant HBM stream carries no collective
+   dependency. The CG loop itself adds two more small psums (p.Ap; fused
+   (r.z, r.r), whose r.r is carried into the stop test).
 
-Communication per matvec drops from all-gather(6·N) to psum(6·|B| + 9).
+Communication per matvec drops from all-gather(6·N) to psum(6·|B| + 8), and
+per CG iteration from six collectives (r4) to three.
 Assembly (once per LM linearization) and the robustified-cost evaluation
 (once per trial) still read neighbors through the partitioner's all-gather —
 they are 1-2 per LM iteration vs ``cg_iters`` matvecs, so the matvec is the
@@ -90,6 +94,13 @@ class HaloPlan(NamedTuple):
     nbr_halo: np.ndarray      # [N, K] index into the halo buffer (off-shard)
     halo_owner: np.ndarray    # [B] shard id owning each boundary row
     halo_local: np.ndarray    # [B] index within the owner's block
+    # Perimeter-sparse off-shard edge lists, padded to a common per-shard
+    # length E (the matvec's halo-dependent tail; everything else streams
+    # independently of the exchange -- see _pcg_halo_local).
+    off_rows: np.ndarray    # [S, E] local row within the shard
+    off_slots: np.ndarray   # [S, E] neighbor slot k of that row
+    off_halo: np.ndarray    # [S, E] index into the halo buffer
+    off_w: np.ndarray       # [S, E] 1.0 real / 0.0 padding
 
 
 def plan_halo(xy, nbr, nbr_mask, n_shards: int) -> HaloPlan:
@@ -136,10 +147,30 @@ def plan_halo(xy, nbr, nbr_mask, n_shards: int) -> HaloPlan:
     nbr_is_local = ~off
     nbr_loc = np.where(mask & nbr_is_local, nbr_new % n_loc, 0).astype(np.int32)
     nbr_halo = np.where(off, halo_of[np.maximum(nbr_new, 0)], 0).astype(np.int32)
+
+    # Per-shard off-edge lists (row, slot, halo index), padded to the max
+    # per-shard count E. |off| is perimeter-sized under the Morton
+    # partition, so E << n_loc * K.
+    rows_g, ks_g = np.nonzero(off)
+    shard_of = rows_g // n_loc
+    counts = np.bincount(shard_of, minlength=n_shards)
+    E = max(int(counts.max()) if counts.size else 0, 1)
+    off_rows = np.zeros((n_shards, E), np.int32)
+    off_slots = np.zeros((n_shards, E), np.int32)
+    off_halo = np.zeros((n_shards, E), np.int32)
+    off_w = np.zeros((n_shards, E), np.float32)
+    for s in range(n_shards):
+        sel = shard_of == s
+        m = int(sel.sum())
+        off_rows[s, :m] = (rows_g[sel] % n_loc).astype(np.int32)
+        off_slots[s, :m] = ks_g[sel].astype(np.int32)
+        off_halo[s, :m] = halo_of[nbr_new[rows_g[sel], ks_g[sel]]].astype(np.int32)
+        off_w[s, :m] = 1.0
     return HaloPlan(
         perm=perm, inv_perm=inv, n_shards=n_shards, n_boundary=n_boundary,
         nbr_is_local=nbr_is_local, nbr_loc=nbr_loc, nbr_halo=nbr_halo,
         halo_owner=halo_owner, halo_local=halo_local,
+        off_rows=off_rows, off_slots=off_slots, off_halo=off_halo, off_w=off_w,
     )
 
 
@@ -219,30 +250,57 @@ def unpermute_state(state: D_.PairState, plan: HaloPlan) -> D_.PairState:
 
 def _pcg_halo_local(
     D, Bt, C, Hg, g_p, g_g,
-    nbr_is_local, nbr_loc, nbr_halo, halo_owner, halo_local, lam,
+    nbr_is_local, nbr_loc, off_rows, off_slots, off_halo, off_w,
+    halo_owner, halo_local, lam,
     *, axis: str, cg_iters: int, rtol: float,
 ):
     """Per-shard PCG body (runs inside shard_map). Solves
-    (H + lam I) x = -g with block-Jacobi preconditioning; per matvec the only
-    collectives are the [B, 6] halo psum and two small psums."""
+    (H + lam I) x = -g with block-Jacobi preconditioning.
+
+    Collective schedule (VERDICT r4 item 6 -- the r4 version paid SIX psums
+    per CG iteration, every one a full barrier in front of the heavy Bt
+    stream): THREE psums per iteration, and the expensive work is
+    independent of the first one so the scheduler can overlap it:
+
+    1. matvec: ONE fused psum carries the [B, 6] boundary rows AND the
+       8-dim C^T v reduction. The interior contraction (the [n_loc, K, 6, 6]
+       Bt stream -- the HBM-dominant term) reads only local values
+       (off-shard slots zeroed), so it has NO data dependency on the psum;
+       the halo-dependent tail is a perimeter-sparse [E]-edge gather +
+       scatter-add, a ~1% correction.
+    2. alpha: one scalar psum for p.Ap.
+    3. beta/stop: one length-2 psum for (r.z, r.r); r.r is carried into the
+       while-loop cond, which therefore issues NO collective of its own.
+    """
     my = jax.lax.axis_index(axis)
     eye6 = jnp.eye(6, dtype=D.dtype)
     Dinv = jnp.linalg.inv(D + lam * eye6[None])
     Hginv = jnp.linalg.inv(Hg + lam * jnp.eye(8, dtype=Hg.dtype))
     own = (halo_owner == my)[:, None]
+    nb = halo_local.shape[0]
+    vj_mask = nbr_is_local[..., None]
+    Bt_off = Bt[off_rows, off_slots] * off_w[:, None, None]  # [E, 6, 6]
 
     def matvec(v_p, v_g):
-        # Halo exchange: each shard scatters the boundary rows it owns, one
-        # psum makes the [B, 6] buffer identical everywhere.
-        halo = jax.lax.psum(jnp.where(own, v_p[halo_local], 0.0), axis)
-        vj = jnp.where(nbr_is_local[..., None], v_p[nbr_loc], halo[nbr_halo])
+        # Fused exchange: boundary rows + the C^T v_p reduction in ONE psum.
+        halo_in = jnp.where(own, v_p[halo_local], 0.0)
+        cg_part = jnp.einsum("nag,na->g", C, v_p)
+        buf = jax.lax.psum(
+            jnp.concatenate([halo_in.reshape(-1), cg_part]), axis
+        )
+        halo = buf[: nb * 6].reshape(nb, 6)
+        # Interior stream: no halo dependency (off-shard slots read zero).
+        vj = jnp.where(vj_mask, v_p[nbr_loc], 0.0)
         y_p = (
             jnp.einsum("nab,nb->na", D, v_p)
             + jnp.einsum("nkab,nkb->na", Bt, vj)
             + jnp.einsum("nag,g->na", C, v_g)
             + lam * v_p
         )
-        y_g = jax.lax.psum(jnp.einsum("nag,na->g", C, v_p), axis) + Hg @ v_g + lam * v_g
+        # Perimeter-sparse halo tail.
+        contrib = jnp.einsum("eab,eb->ea", Bt_off, halo[off_halo])
+        y_p = y_p.at[off_rows].add(contrib)
+        y_g = buf[nb * 6:] + Hg @ v_g + lam * v_g
         return y_p, y_g
 
     def pre(r_p, r_g):
@@ -252,32 +310,39 @@ def _pcg_halo_local(
         # v_g is replicated: add its contribution once (no psum).
         return jax.lax.psum(jnp.sum(a_p * b_p), axis) + jnp.dot(a_g, b_g)
 
+    def dots_rz_rr(r_p, r_g, z_p, z_g):
+        # (r.z, r.r) in one psum.
+        red = jax.lax.psum(
+            jnp.stack([jnp.sum(r_p * z_p), jnp.sum(r_p * r_p)]), axis
+        )
+        return red[0] + jnp.dot(r_g, z_g), red[1] + jnp.dot(r_g, r_g)
+
     b_p, b_g = -g_p, -g_g
     x_p = jnp.zeros_like(b_p)
     x_g = jnp.zeros_like(b_g)
     r_p, r_g = b_p, b_g
     z_p, z_g = pre(r_p, r_g)
-    bb = dot(b_p, b_g, b_p, b_g)
-    tol2 = rtol * rtol * bb
+    rz0, rr0 = dots_rz_rr(r_p, r_g, z_p, z_g)
+    tol2 = rtol * rtol * rr0  # x0 = 0, so r0 = b and rr0 = b.b
 
     def cond(carry):
-        _, _, r_p, r_g, *_, k = carry
-        return jnp.logical_and(k < cg_iters, dot(r_p, r_g, r_p, r_g) > tol2)
+        *_, rr, k = carry
+        return jnp.logical_and(k < cg_iters, rr > tol2)
 
     def body(carry):
-        x_p, x_g, r_p, r_g, z_p, z_g, p_p, p_g, k = carry
+        x_p, x_g, r_p, r_g, p_p, p_g, rz, _rr, k = carry
         Ap_p, Ap_g = matvec(p_p, p_g)
-        rz = dot(r_p, r_g, z_p, z_g)
         alpha = rz / (dot(p_p, p_g, Ap_p, Ap_g) + TINY)
         x_p, x_g = x_p + alpha * p_p, x_g + alpha * p_g
         r_p, r_g = r_p - alpha * Ap_p, r_g - alpha * Ap_g
         z_p, z_g = pre(r_p, r_g)
-        beta = dot(r_p, r_g, z_p, z_g) / (rz + TINY)
+        rz_new, rr_new = dots_rz_rr(r_p, r_g, z_p, z_g)
+        beta = rz_new / (rz + TINY)
         p_p, p_g = z_p + beta * p_p, z_g + beta * p_g
-        return (x_p, x_g, r_p, r_g, z_p, z_g, p_p, p_g, k + 1)
+        return (x_p, x_g, r_p, r_g, p_p, p_g, rz_new, rr_new, k + 1)
 
     x_p, x_g, *_ = jax.lax.while_loop(
-        cond, body, (x_p, x_g, r_p, r_g, z_p, z_g, z_p, z_g, jnp.int32(0))
+        cond, body, (x_p, x_g, r_p, r_g, z_p, z_g, rz0, rr0, jnp.int32(0))
     )
     return x_p, x_g
 
@@ -287,7 +352,8 @@ def make_halo_step(mesh: Mesh, cam_kind, data, hyper, spec, plan_arrays,
     """LM step factory (``ops.lm.lm_optimize_general`` contract) whose damped
     solves run the halo-exchange PCG inside shard_map."""
     axis = dist.POINTS_AXIS
-    nbr_is_local, nbr_loc, nbr_halo, halo_owner, halo_local = plan_arrays
+    (nbr_is_local, nbr_loc, off_rows, off_slots, off_halo, off_w,
+     halo_owner, halo_local) = plan_arrays
     row = P(axis)
     rep = P()
     pcg = functools.partial(
@@ -296,7 +362,10 @@ def make_halo_step(mesh: Mesh, cam_kind, data, hyper, spec, plan_arrays,
     sharded_pcg = _shard_map(
         pcg,
         mesh=mesh,
-        in_specs=(row, row, row, rep, row, rep, row, row, row, rep, rep, rep),
+        in_specs=(row, row, row, rep, row, rep,      # D Bt C Hg g_p g_g
+                  row, row,                          # nbr_is_local nbr_loc
+                  row, row, row, row,                # off_{rows,slots,halo,w}
+                  rep, rep, rep),                    # halo_owner halo_local lam
         out_specs=(row, rep),
         check_vma=False,
     )
@@ -309,7 +378,8 @@ def make_halo_step(mesh: Mesh, cam_kind, data, hyper, spec, plan_arrays,
         def solve(lam):
             x_p, x_g = sharded_pcg(
                 sys.D, sys.Bt, sys.C, sys.Hg, sys.g_p, sys.g_g,
-                nbr_is_local, nbr_loc, nbr_halo, halo_owner, halo_local,
+                nbr_is_local, nbr_loc, off_rows, off_slots, off_halo, off_w,
+                halo_owner, halo_local,
                 jnp.asarray(lam, sys.D.dtype),
             )
             return bs_._join(x_p, x_g)
@@ -352,10 +422,17 @@ def place_plan(mesh: Mesh, plan: HaloPlan):
 
     row = NamedSharding(mesh, P(dist.POINTS_AXIS, None))
     rep = NamedSharding(mesh, P())
+    # Off-edge lists are [S, E]: flattened to [S*E] they shard one block of
+    # E entries per device, exactly the shard's own edge list.
+    flat = lambda a: jnp.asarray(np.asarray(a).reshape(-1))
+    srow = NamedSharding(mesh, P(dist.POINTS_AXIS))
     return (
         jax.device_put(jnp.asarray(plan.nbr_is_local), row),
         jax.device_put(jnp.asarray(plan.nbr_loc), row),
-        jax.device_put(jnp.asarray(plan.nbr_halo), row),
+        jax.device_put(flat(plan.off_rows), srow),
+        jax.device_put(flat(plan.off_slots), srow),
+        jax.device_put(flat(plan.off_halo), srow),
+        jax.device_put(flat(plan.off_w), srow),
         jax.device_put(jnp.asarray(plan.halo_owner), rep),
         jax.device_put(jnp.asarray(plan.halo_local), rep),
     )
@@ -406,10 +483,14 @@ def place_plan_global(mesh: Mesh, plan: HaloPlan):
 
     row = P(dist.POINTS_AXIS, None)
     rep = P()
+    srow = P(dist.POINTS_AXIS)
     return (
         multihost.make_global_array(np.asarray(plan.nbr_is_local), mesh, row),
         multihost.make_global_array(np.asarray(plan.nbr_loc), mesh, row),
-        multihost.make_global_array(np.asarray(plan.nbr_halo), mesh, row),
+        multihost.make_global_array(np.asarray(plan.off_rows).reshape(-1), mesh, srow),
+        multihost.make_global_array(np.asarray(plan.off_slots).reshape(-1), mesh, srow),
+        multihost.make_global_array(np.asarray(plan.off_halo).reshape(-1), mesh, srow),
+        multihost.make_global_array(np.asarray(plan.off_w).reshape(-1), mesh, srow),
         multihost.make_global_array(np.asarray(plan.halo_owner), mesh, rep),
         multihost.make_global_array(np.asarray(plan.halo_local), mesh, rep),
     )
