@@ -104,3 +104,25 @@ def test_batch_aware_backend_dispatch(monkeypatch):
     costs = np.asarray(res.cost)
     assert np.all(np.isfinite(costs))
     assert np.all(costs <= np.asarray(res.initial_cost) * 1.01)
+
+
+def test_inv6_spd_matches_linalg_inv():
+    """Closed-form blocked 6x6 SPD inverse == jnp.linalg.inv on damped SPD
+    blocks across a wide dynamic range of scales and dampings."""
+    import numpy as np
+    import jax.numpy as jnp
+    from triangulation_in_deformable_scenes_tpu.models import block_system as bs
+
+    rng = np.random.default_rng(0)
+    for scale in (1e-3, 1.0, 1e5):
+        J = rng.normal(size=(64, 9, 6)) * scale
+        M = jnp.asarray(np.einsum("nra,nrb->nab", J, J))
+        for lam in (1e-6 * scale**2, 1.0, 1e3 * scale**2):
+            A = M + lam * jnp.eye(6)[None]
+            got = np.asarray(bs.inv6_spd(A))
+            want = np.linalg.inv(np.asarray(A, np.float64))
+            # identity check is scale-free
+            eye = np.einsum("nab,nbc->nac", got, np.asarray(A, np.float64))
+            err = np.abs(eye - np.eye(6)).max()
+            assert err < 5e-4, (scale, lam, err)
+            assert np.allclose(got, want, rtol=2e-3, atol=1e-6 / scale**2), (scale, lam)

@@ -311,6 +311,57 @@ def diag_of(sys: BlockSystem) -> jnp.ndarray:
     return _join(dp, jnp.diagonal(sys.Hg))
 
 
+def _inv3(A):
+    """Closed-form batched 3x3 inverse (adjugate / det) -- pure elementwise
+    VPU work, no LU pivot chain."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A21 = f * g - d * i
+    A31 = d * h - e * g
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > TINY, det, TINY)
+    adj = jnp.stack(
+        [
+            jnp.stack([A11, c * h - b * i, b * f - c * e], axis=-1),
+            jnp.stack([A21, a * i - c * g, c * d - a * f], axis=-1),
+            jnp.stack([A31, b * g - a * h, a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def inv6_spd(M):
+    """Closed-form batched 6x6 SPD inverse via 3x3-blocked Schur complement.
+
+    ``jnp.linalg.inv`` on a [N, 6, 6] batch lowers to an LU pivot chain that
+    measured 4.2 ms at the bigN scale (N=2600) -- HALF the LM-iteration
+    budget, paid on every damped trial for the Jacobi preconditioner. This
+    closed form is ~10 batched [N, 3, 3] einsums plus two adjugate
+    inverses: tens of microseconds of bandwidth-bound VPU work. Blocks are
+    Jacobi-equilibrated first (s = rsqrt(diag)) so the adjugate/det stays
+    in f32 dynamic range; for the damped SPD blocks both A and its Schur
+    complement are SPD, so the blocked form is well-posed.
+    """
+    s = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(M, axis1=-2, axis2=-1), TINY))
+    Ms = M * s[..., :, None] * s[..., None, :]
+    A = Ms[..., 0:3, 0:3]
+    B = Ms[..., 0:3, 3:6]
+    Dm = Ms[..., 3:6, 3:6]
+    Ainv = _inv3(A)
+    AinvB = jnp.einsum("...ab,...bc->...ac", Ainv, B)
+    S = Dm - jnp.einsum("...ba,...bc->...ac", B, AinvB)
+    Sinv = _inv3(S)
+    BSinv = jnp.einsum("...ab,...bc->...ac", AinvB, Sinv)
+    TL = Ainv + jnp.einsum("...ab,...cb->...ac", BSinv, AinvB)
+    top = jnp.concatenate([TL, -BSinv], axis=-1)
+    bot = jnp.concatenate([-jnp.swapaxes(BSinv, -1, -2), Sinv], axis=-1)
+    inv = jnp.concatenate([top, bot], axis=-2)
+    return inv * s[..., :, None] * s[..., None, :]
+
+
 def block_jacobi_apply(sys: BlockSystem, lam) -> Callable:
     """Block-Jacobi preconditioner: invert (D_i + lam I) per point and
     (Hg + lam I) once, apply as batched 6x6 / 8x8 products.
@@ -320,7 +371,7 @@ def block_jacobi_apply(sys: BlockSystem, lam) -> Callable:
     curvature of each point pair, which plain (scalar) Jacobi ignores."""
     n = sys.D.shape[0]
     eye6 = jnp.eye(6, dtype=sys.D.dtype)
-    Dinv = jnp.linalg.inv(sys.D + lam * eye6[None])  # [N, 6, 6]
+    Dinv = inv6_spd(sys.D + lam * eye6[None])  # [N, 6, 6]
     Hginv = jnp.linalg.inv(sys.Hg + lam * jnp.eye(8, dtype=sys.Hg.dtype))
 
     def apply(r):

@@ -779,18 +779,78 @@ def solve_pairs(
 
     Memory: the dense backend materializes the Jacobian J [R, 6N+8] per pair
     (R = N*(6+K); ~40 MB f32 at N=240, K=32 -- see ``build_system``) and
-    vmap multiplies that by the batch size, so the backend dispatch here is
-    batch-aware: ``use_dense_backend(n, K, batch)`` falls over to the
+    the batch multiplies that by the batch size, so the backend dispatch here
+    is batch-aware: ``use_dense_backend(n, K, batch)`` falls over to the
     block-sparse PCG backend once the batch-wide J footprint would exceed
     ``DENSE_J_BUDGET_BYTES`` (e.g. 16 pairs at N~680 -> ~6 GB dense, so the
     batch runs on PCG instead of OOMing).
+
+    Scheduling: the batch runs under ``lm_optimize_flat_batched``, NOT
+    ``vmap(solve_pair)`` -- vmapping the sequential trial while_loop runs it
+    in lockstep, charging every pair the batch-max trial count of every
+    iteration (measured 2.4x slower than solving the pairs one by one,
+    BENCH_r04 serving_*). The flat driver does one batched damped solve per
+    global step with per-pair accept/damping, which reproduces each pair's
+    exact sequential (lam, nu, accept) schedule while keeping every solve
+    fully batched on the MXU.
     """
+    from . import block_system as bs_
+
     hyper_axis = None if jnp.ndim(hyper.rep_w) == 0 else 0
     batch = int(data.kp1.shape[0])
-    return jax.vmap(
-        lambda d, h, s: solve_pair(cam_kind, d, h, s, n_iterations, spec, batch),
+    n = int(state0.p1.shape[1])
+    K = int(data.nbr.shape[-1])
+
+    cost_b = jax.vmap(
+        lambda d, h, s: robust_cost(cam_kind, d, h, s, spec),
         in_axes=(0, hyper_axis, 0),
-    )(data, hyper, state0)
+    )
+
+    if use_dense_backend(n, K, batch):
+        build_b = jax.vmap(
+            lambda d, h, s: build_system(cam_kind, d, h, s, spec),
+            in_axes=(0, hyper_axis, 0),
+        )
+
+        def make_step_b(state_b):
+            H, g = build_b(data, hyper, state_b)
+            diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+            solve_b = jax.vmap(lm_ops.solve_damped_cholesky)
+            return (lambda lam_b: solve_b(H, g, lam_b)), g, jnp.max(diag, axis=-1)
+
+    else:
+        build_b = jax.vmap(
+            lambda d, h, s: bs_.build_block_system(cam_kind, d, h, s, spec),
+            in_axes=(0, hyper_axis, 0),
+        )
+
+        def make_step_b(state_b):
+            sys_b = build_b(data, hyper, state_b)
+            g = jax.vmap(bs_.flat_gradient)(sys_b)
+            diag_max = jax.vmap(lambda s: jnp.max(bs_.diag_of(s)))(sys_b)
+
+            def solve_b(lam_b):
+                def one(sys, nbr, gg, lam):
+                    mv = lambda v: bs_.block_matvec(sys, nbr, v, lam)
+                    return bs_.pcg_flex(
+                        mv, -gg, bs_.block_jacobi_apply(sys, lam), CG_ITERS, CG_RTOL
+                    )
+
+                return jax.vmap(one)(sys_b, data.nbr, g, lam_b)
+
+            return solve_b, g, diag_max
+
+    res = lm_ops.lm_optimize_flat_batched(
+        make_step_b,
+        lambda s: cost_b(data, hyper, s),
+        apply_delta,
+        state0,
+        batch,
+        n_iterations,
+    )
+    if spec.one_set:
+        res = res._replace(state=res.state._replace(p2=res.state.p1))
+    return res
 
 
 def make_pair_data(

@@ -184,6 +184,89 @@ def lm_optimize(
     )
 
 
+def lm_optimize_flat_batched(
+    make_step_batched: Callable,
+    robust_cost_batched: Callable,
+    apply_delta: Callable,
+    state0,
+    batch: int,
+    n_iterations: int,
+    tau: float = 1e-5,
+    max_trials: int = 10,
+) -> LMResult:
+    """Per-pair-asynchronous LM for a BATCH of independent problems.
+
+    ``vmap(lm_optimize_general)`` runs the inner trial while_loop in
+    lockstep: every pair pays the batch-MAX trial count of every iteration,
+    which measured ~2.4x slower than just solving the pairs sequentially
+    (BENCH_r04 serving_*). This driver flattens the trial loop away: each
+    global step performs exactly ONE batched damped solve + ONE batched
+    cost evaluation, and acceptance/damping evolve PER PAIR -- a rejection
+    simply means that pair's state doesn't move this step while its lambda
+    grows. Per pair, the (lam, nu, accept) sequence is IDENTICAL to
+    ``lm_optimize_general``'s (g2o semantics: an iteration retries with
+    growing damping until acceptance, ``max_trials`` consecutive rejections
+    end that pair's optimization; relinearizing at an unmoved state after a
+    rejection reproduces the same linear system the sequential trial loop
+    reuses). Total steps = n_iterations + the batch-max number of
+    rejections, instead of n_iterations * batch-max-trials-per-iteration.
+
+    ``make_step_batched(state_b) -> (solve_b, g_b, diag_max_b)`` where
+    ``solve_b(lam_b [B]) -> delta_b`` solves every pair's damped system at
+    its own lambda; ``robust_cost_batched(state_b) -> [B]``;
+    ``apply_delta`` maps per pair (vmapped here).
+    """
+    F0_init = robust_cost_batched(state0)
+    apply_b = jax.vmap(apply_delta)
+    max_steps = n_iterations * max_trials
+
+    def cond(carry):
+        _state, _lam, _nu, _F, n_acc, _streak, stop, k = carry
+        alive = jnp.logical_and(jnp.logical_not(stop), n_acc < n_iterations)
+        return jnp.logical_and(jnp.any(alive), k < max_steps)
+
+    def body(carry):
+        state, lam, nu, F, n_acc, streak, stop, k = carry
+        solve_b, g_b, diag_max_b = make_step_batched(state)
+        lam0 = jnp.where(lam < 0, tau * diag_max_b, lam)
+        delta = solve_b(lam0)
+        cand = apply_b(state, delta)
+        F1 = robust_cost_batched(cand)
+        scale = jnp.einsum("bd,bd->b", delta, lam0[:, None] * delta - g_b) + TINY
+        rho = (F - F1) / scale
+        alive = jnp.logical_and(jnp.logical_not(stop), n_acc < n_iterations)
+        ok = jnp.logical_and(jnp.logical_and(rho > 0, jnp.isfinite(F1)), alive)
+        factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam1 = jnp.where(ok, lam0 * factor, jnp.where(alive, lam0 * nu, lam))
+        nu1 = jnp.where(ok, 2.0, jnp.where(alive, 2.0 * nu, nu))
+        state1 = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(
+                ok.reshape((batch,) + (1,) * (a.ndim - 1)), b, a
+            ),
+            state, cand,
+        )
+        F2 = jnp.where(ok, F1, F)
+        n_acc1 = n_acc + ok.astype(jnp.int32)
+        streak1 = jnp.where(ok, 0, jnp.where(alive, streak + 1, streak))
+        stop1 = jnp.logical_or(stop, streak1 >= max_trials)
+        return (state1, lam1, nu1, F2, n_acc1, streak1, stop1, k + 1)
+
+    init = (
+        state0,
+        jnp.full((batch,), -1.0, dtype=FP),
+        jnp.full((batch,), 2.0, dtype=FP),
+        F0_init,
+        jnp.zeros((batch,), jnp.int32),
+        jnp.zeros((batch,), jnp.int32),
+        jnp.zeros((batch,), bool),
+        jnp.int32(0),
+    )
+    state, lam, _, F, n_acc, _, _, _ = jax.lax.while_loop(cond, body, init)
+    return LMResult(
+        state=state, cost=F, initial_cost=F0_init, lam=lam, n_accepted=n_acc
+    )
+
+
 def lm_optimize_speculative(
     build_system: Callable,
     robust_cost: Callable,

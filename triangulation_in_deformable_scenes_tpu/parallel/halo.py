@@ -274,7 +274,7 @@ def _pcg_halo_local(
     """
     my = jax.lax.axis_index(axis)
     eye6 = jnp.eye(6, dtype=D.dtype)
-    Dinv = jnp.linalg.inv(D + lam * eye6[None])
+    Dinv = bs_.inv6_spd(D + lam * eye6[None])  # closed form; see inv6_spd
     Hginv = jnp.linalg.inv(Hg + lam * jnp.eye(8, dtype=Hg.dtype))
     own = (halo_owner == my)[:, None]
     nb = halo_local.shape[0]
