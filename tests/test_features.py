@@ -146,3 +146,37 @@ def test_epipolar_inliers_pure_translation():
     ok2 = np.asarray(matching.epipolar_inliers(E, jnp.asarray(r1), jnp.asarray(r2_bad), 0.002))
     assert ok2[25:].mean() > 0.9
     assert ok2[:25].mean() < 0.3
+
+
+def test_patch_descriptor_path_matches_global_gather():
+    """The patch-local descriptor path (one 37x37 gather + valid blur +
+    in-patch taps) must reproduce the full-image-blur + global-gather
+    formulation: identical angles, and descriptor bits equal except where
+    the two blur lowerings differ in the last float ulp at a t0==t1 tie
+    (tolerated at <0.5% of bits)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from triangulation_in_deformable_scenes_tpu.ops import features as F
+
+    rng = np.random.default_rng(7)
+    im = rng.uniform(0, 255, size=(240, 320)).astype(np.float32)
+    impad = jnp.pad(jnp.asarray(im), F.EDGE, mode="reflect")
+    n = 64
+    # Production keypoints carry a 16px detection margin (extract_level);
+    # inside it the 43x43 patch gather never clamps against the EDGE pad.
+    xy = np.stack([
+        rng.integers(16, 320 - 16, size=n), rng.integers(16, 240 - 16, size=n)
+    ], axis=-1).astype(np.int32)
+    xp = jnp.asarray(xy) + F.EDGE
+    ok = jnp.ones((n,), bool)
+
+    ang_old = F.ic_angle(impad, xp, ok)
+    P = F._extract_patches(impad, xp, F.DESC_R)
+    c = F.DESC_R - F.HALF_PATCH
+    ang_new = F.ic_angle_from_patches(P[:, c:-c, c:-c], ok)
+    np.testing.assert_allclose(np.asarray(ang_old), np.asarray(ang_new), atol=1e-4)
+
+    d_old = F.orb_descriptors(F.gaussian_blur(impad), xp, ang_old, ok)
+    d_new = F.orb_descriptors_from_patches(F.blur_patches(P), ang_new, ok)
+    diff = np.asarray(d_old != d_new).mean()
+    assert diff < 0.005, f"bit mismatch rate {diff:.4f}"

@@ -257,8 +257,13 @@ def topk_level(score, mask, k):
 def ic_angle(im, xy, valid):
     """Intensity-centroid angle (degrees) for integer keypoints xy [N, 2]."""
     patch = _extract_patches(im, xy, HALF_PATCH)
-    u = jnp.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=im.dtype)
-    cm = jnp.asarray(_CMASK, dtype=im.dtype)
+    return ic_angle_from_patches(patch, valid)
+
+
+def ic_angle_from_patches(patch, valid):
+    """IC angle from pre-gathered [N, 31, 31] patches (FAST::IC_Angle)."""
+    u = jnp.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=patch.dtype)
+    cm = jnp.asarray(_CMASK, dtype=patch.dtype)
     m10 = jnp.einsum("nvu,u,vu->n", patch, u, cm)
     m01 = jnp.einsum("nvu,v,vu->n", patch, u, cm)
     ang = jnp.degrees(jnp.arctan2(m01, m10))
@@ -295,6 +300,69 @@ def orb_descriptors(im_blur, xy, angle, valid):
     return jnp.where(valid[:, None], bits, 0)
 
 
+# Descriptor tap radius: the bit_pattern_31_ points live in a +-13 box but
+# their DIAGONAL radius is 18.4, so rotated+rounded taps reach +-18
+# (matching OpenCV, whose taps also leave the nominal 31x31 patch); the
+# 7x7 blur needs 3 more. Keypoints sit >= 16px from the level edge
+# (detection margin) and the level is EDGE=19-padded, so every tap stays
+# interior to the padded image.
+TAP_R = 18
+DESC_R = TAP_R + 3  # 21
+
+
+def blur_patches(patches):
+    """VALID-mode separable 7x7 sigma-2 Gaussian over [N, 43, 43] patches.
+
+    For patch centers >= EDGE from the padded-image border every output
+    pixel equals the corresponding pixel of ``gaussian_blur`` applied to
+    the full padded image (the full-image version's reflect pad only
+    affects a 3px frame the patches never reach), so descriptor parity with
+    the full-image-blur formulation is exact -- while the work drops from
+    8 full pyramid levels to N x 37 x 37.
+    """
+    r = 3
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / 2.0) ** 2)
+    k = jnp.asarray(k / k.sum(), dtype=patches.dtype)
+    n, h, w = patches.shape
+    rows = jax.lax.conv_general_dilated(
+        patches[:, None], k.reshape(1, 1, 1, 2 * r + 1),
+        window_strides=(1, 1), padding="VALID",
+    )
+    cols = jax.lax.conv_general_dilated(
+        rows, k.reshape(1, 1, 2 * r + 1, 1),
+        window_strides=(1, 1), padding="VALID",
+    )
+    return cols[:, 0]  # [N, 37, 37]
+
+
+def orb_descriptors_from_patches(patches_blur, angle, valid):
+    """Rotated-BRIEF bits from pre-gathered blurred [N, 31, 31] patches.
+
+    Same bits as ``orb_descriptors`` (the taps are relative to the keypoint
+    and bounded by +-HALF_PATCH), but the gather is IN-PATCH: one
+    take_along_axis over a 961-element minor axis instead of a scattered
+    [N, 256] random-access gather over the whole blurred level (the r4
+    ``angle_desc_rest`` 6.3 ms was dominated by that global gather plus the
+    full-image per-level blurs feeding it)."""
+    pat = jnp.asarray(_PATTERN, dtype=FP)  # [256, 4]
+    rad = jnp.radians(angle)
+    a, b = jnp.cos(rad), jnp.sin(rad)
+    side = 2 * TAP_R + 1
+    flat = patches_blur.reshape(patches_blur.shape[0], side * side)
+
+    def taps(px, py):
+        ry = jnp.round(px[None, :] * b[:, None] + py[None, :] * a[:, None]).astype(jnp.int32)
+        rx = jnp.round(px[None, :] * a[:, None] - py[None, :] * b[:, None]).astype(jnp.int32)
+        idx = (ry + TAP_R) * side + (rx + TAP_R)  # [N, 256]
+        return jnp.take_along_axis(flat, idx, axis=1)
+
+    t0 = taps(pat[:, 0], pat[:, 1])
+    t1 = taps(pat[:, 2], pat[:, 3])
+    bits = (t0 < t1).astype(jnp.int8)
+    return jnp.where(valid[:, None], bits, 0)
+
+
 def extract_level(
     im_level,
     mask_level,
@@ -319,11 +387,16 @@ def extract_level(
 
     xy, vals, ok = topk_level(score, keep, k)
 
+    # ONE [37, 37] patch gather per keypoint feeds both the orientation
+    # (center 31x31 of the raw patch) and the descriptor (valid-blurred to
+    # 31x31, taps in-patch) -- replacing the full-image per-level blur and
+    # the scattered global [N, 256] tap gather of the r4 implementation.
     impad = jnp.pad(im_level, EDGE, mode="reflect")
     xp = xy + EDGE
-    ang = ic_angle(impad, xp, ok)
-    im_blur = gaussian_blur(impad)
-    desc = orb_descriptors(im_blur, xp, ang, ok)
+    P = _extract_patches(impad, xp, DESC_R)  # [k, 43, 43]
+    c = DESC_R - HALF_PATCH
+    ang = ic_angle_from_patches(P[:, c:-c, c:-c], ok)
+    desc = orb_descriptors_from_patches(blur_patches(P), ang, ok)
     return xy, vals, ok, ang, desc
 
 
