@@ -311,54 +311,61 @@ def diag_of(sys: BlockSystem) -> jnp.ndarray:
     return _join(dp, jnp.diagonal(sys.Hg))
 
 
-def _inv3(A):
-    """Closed-form batched 3x3 inverse (adjugate / det) -- pure elementwise
-    VPU work, no LU pivot chain."""
-    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
-    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
-    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
-    A11 = e * i - f * h
-    A21 = f * g - d * i
-    A31 = d * h - e * g
-    det = a * A11 + b * A21 + c * A31
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > TINY, det, TINY)
-    adj = jnp.stack(
-        [
-            jnp.stack([A11, c * h - b * i, b * f - c * e], axis=-1),
-            jnp.stack([A21, a * i - c * g, c * d - a * f], axis=-1),
-            jnp.stack([A31, b * g - a * h, a * e - b * d], axis=-1),
-        ],
-        axis=-2,
-    )
-    return adj * inv_det[..., None, None]
-
-
 def inv6_spd(M):
-    """Closed-form batched 6x6 SPD inverse via 3x3-blocked Schur complement.
+    """Batched 6x6 SPD inverse: equilibrate, unrolled Cholesky, L^-1, Li^T Li.
 
     ``jnp.linalg.inv`` on a [N, 6, 6] batch lowers to an LU pivot chain that
     measured 4.2 ms at the bigN scale (N=2600) -- HALF the LM-iteration
     budget, paid on every damped trial for the Jacobi preconditioner. This
-    closed form is ~10 batched [N, 3, 3] einsums plus two adjugate
-    inverses: tens of microseconds of bandwidth-bound VPU work. Blocks are
-    Jacobi-equilibrated first (s = rsqrt(diag)) so the adjugate/det stays
-    in f32 dynamic range; for the damped SPD blocks both A and its Schur
-    complement are SPD, so the blocked form is well-posed.
+    unrolled form is ~200 fused elementwise ops over [N] lanes (no pivot
+    chain, no batched-LAPACK loop): microseconds of VPU work.
+
+    Numerical note (r5): a first attempt used a 3x3-blocked Schur adjugate
+    closed form -- catastrophically wrong on the real assembled blocks
+    (||I - X A|| up to 4e3 at block condition ~1e5 in f32; the Schur
+    complement forms small differences of large products). Cholesky of the
+    equilibrated SPD block needs no pivoting and keeps the residual at
+    ~cond * eps (measured <=1e-2 on the same blocks) -- more than enough
+    for a preconditioner and indistinguishable from LU in CG iteration
+    counts.
     """
     s = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(M, axis1=-2, axis2=-1), TINY))
     Ms = M * s[..., :, None] * s[..., None, :]
-    A = Ms[..., 0:3, 0:3]
-    B = Ms[..., 0:3, 3:6]
-    Dm = Ms[..., 3:6, 3:6]
-    Ainv = _inv3(A)
-    AinvB = jnp.einsum("...ab,...bc->...ac", Ainv, B)
-    S = Dm - jnp.einsum("...ba,...bc->...ac", B, AinvB)
-    Sinv = _inv3(S)
-    BSinv = jnp.einsum("...ab,...bc->...ac", AinvB, Sinv)
-    TL = Ainv + jnp.einsum("...ab,...cb->...ac", BSinv, AinvB)
-    top = jnp.concatenate([TL, -BSinv], axis=-1)
-    bot = jnp.concatenate([-jnp.swapaxes(BSinv, -1, -2), Sinv], axis=-1)
-    inv = jnp.concatenate([top, bot], axis=-2)
+
+    # Unrolled lower Cholesky of the equilibrated block.
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            acc = Ms[..., i, j]
+            for k in range(j):
+                acc = acc - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(acc, TINY))
+            else:
+                L[i][j] = acc / L[j][j]
+
+    # Li = L^-1 by forward substitution (also lower triangular).
+    Li = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        Li[i][i] = 1.0 / L[i][i]
+        for j in range(i - 1, -1, -1):
+            acc = L[i][j] * Li[j][j]
+            for k in range(j + 1, i):
+                acc = acc + L[i][k] * Li[k][j]
+            Li[i][j] = -acc * Li[i][i]
+
+    # Minv = Li^T Li.
+    rows = []
+    for a in range(6):
+        cols = []
+        for b in range(6):
+            acc = None
+            for k in range(max(a, b), 6):
+                term = Li[k][a] * Li[k][b]
+                acc = term if acc is None else acc + term
+            cols.append(acc)
+        rows.append(jnp.stack(cols, axis=-1))
+    inv = jnp.stack(rows, axis=-2)
     return inv * s[..., :, None] * s[..., None, :]
 
 
