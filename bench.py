@@ -103,14 +103,34 @@ def devtime(make_body, x0, reps=30):
         return jax.lax.fori_loop(0, reps, lambda i, c: make_body(c), x)
 
     r = run(x0)
-    jax.block_until_ready(r)
+    sync(r)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         r = run(x0)
-        jax.block_until_ready(r)
+        sync(r)
         best = min(best, time.perf_counter() - t0)
     return best / reps
+
+
+def sync(tree):
+    """TRUE device barrier: fetch one element of one leaf to the host.
+
+    ``jax.block_until_ready`` is NOT a reliable barrier on the axon
+    platform: measured r5, it returns immediately (sub-ms for a 65 ms
+    solve) whenever another process shares the tunneled chip, and every
+    timing built on it silently degrades to a dispatch-rate measurement.
+    A host fetch cannot complete before the computation has, so a tiny
+    one-element slice fetch (~one round trip, no bulk transfer) is the
+    honest barrier. The round trip is constant and cancels out of the
+    slope/marginal measurements used everywhere here.
+    """
+    import numpy as np
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    np.asarray(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
+    return tree
 
 
 def devtime_marginal(make_body, x0, k_hi=9, reps=20):
@@ -356,7 +376,7 @@ def phase_timings(cfg):
     )
     n_inner = int(cfg.n_opt_iterations)
     t_inner = timed(
-        lambda: deformable.solve_pair("KB8", data, hyper, state, n_inner).cost.block_until_ready()
+        lambda: sync(deformable.solve_pair("KB8", data, hyper, state, n_inner).cost)
     )
 
     import numpy as _np
@@ -379,7 +399,7 @@ def phase_timings(cfg):
             nm_iters=nm_iters, xtol_rel=float(c.nlopt_rel_tolerance),
             xtol_abs=float(c.nlopt_abs_tolerance),
         )
-        jax.block_until_ready(s)
+        sync(s)
 
     t_outer_round = timed(nm_round, reps=2)
 
@@ -390,13 +410,13 @@ def phase_timings(cfg):
     # block_until_ready would charge the axon tunnel's ~25 ms host round
     # trip to every 25-iteration solve and measure the tunnel, not the chip.
     reps = 8
-    deformable.solve_pair("KB8", data, hyper, state, n_inner).cost.block_until_ready()
+    sync(deformable.solve_pair("KB8", data, hyper, state, n_inner).cost)
     t0 = time.perf_counter()
     costs = [
         deformable.solve_pair("KB8", data, hyper, state, n_inner).cost
         for _ in range(reps)
     ]
-    jax.block_until_ready(costs)
+    sync(costs)
     lm_iters_per_sec = n_inner * reps / (time.perf_counter() - t0)
 
     # Profiler trace of one outer round (SURVEY section 5 tracing commitment).
@@ -505,7 +525,7 @@ def roofline(cfg, lm_iters_per_sec):
     sys_b = jax.jit(
         lambda s: block_system.build_block_system("KB8", datab, hyperb, s)
     )(stateb)
-    jax.block_until_ready(sys_b)
+    sync(sys_b)
     dimb = 6 * int(nb) + 8
 
     def mv_body(v):
@@ -594,7 +614,7 @@ def big_problem_throughput(cfg, n_pairs=2600, n_iters=10):
     dim = 6 * n + 8
     assert dim > deformable.DENSE_DIM_LIMIT  # exercises the block-CG backend
 
-    solve = lambda: deformable.solve_pair("KB8", data, hyper, state, n_iters).cost.block_until_ready()
+    solve = lambda: sync(deformable.solve_pair("KB8", data, hyper, state, n_iters).cost)
     solve()
     t0 = time.perf_counter()
     reps = 3
@@ -605,11 +625,11 @@ def big_problem_throughput(cfg, n_pairs=2600, n_iters=10):
     # Assembly device time (once per LM linearization).
     import jax.numpy as jnp
     asm = jax.jit(lambda s: block_system.build_block_system("KB8", data, hyper, s))
-    r = asm(state); jax.block_until_ready(r)
+    r = asm(state); sync(r)
     t0 = time.perf_counter()
     for _ in range(10):
         r = asm(state)
-    jax.block_until_ready(r)
+    sync(r)
     return {
         "bigN_pairs": n_pairs,
         "bigN_tangent_dim": dim,
@@ -656,17 +676,36 @@ def serving_throughput(cfg, batch=16, n_iters=25):
         rep_w=jnp.asarray(1.0, FP), arap_w=jnp.asarray(1e-4, FP),
         depth_sigma=jnp.asarray(0.003, FP), global_w=jnp.asarray(50.0, FP),
         alpha=jnp.asarray(1.0, FP), beta=jnp.asarray(1.0, FP))
-    run = lambda: deformable.solve_pairs("KB8", bd, hyper, bs, n_iters).cost.block_until_ready()
+    run = lambda: sync(deformable.solve_pairs("KB8", bd, hyper, bs, n_iters).cost)
     run()
     t0 = time.perf_counter()
     reps = 5
     for _ in range(reps):
         run()
     dt = (time.perf_counter() - t0) / reps
+
+    # Pipelined per-pair dispatch -- the serving scheduler of choice (see
+    # deformable.solve_pairs_pipelined's measured comparison): independent
+    # solves queued back-to-back, one sync at the end.
+    def run_piped():
+        rs = deformable.solve_pairs_pipelined("KB8", datas, hyper, states, n_iters)
+        sync(rs[-1].cost)
+    run_piped()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run_piped()
+    dt_piped = (time.perf_counter() - t0) / reps
     return {
         "serving_batch": batch,
-        "serving_pairs_per_sec": round(batch / dt, 2),
-        "serving_lm_iters_per_sec": round(batch * n_iters / dt, 1),
+        "serving_pairs_per_sec": round(batch / dt_piped, 2),
+        "serving_lm_iters_per_sec": round(batch * n_iters / dt_piped, 1),
+        "serving_batched_lm_iters_per_sec": round(batch * n_iters / dt, 1),
+        "serving_note": (
+            "headline = pipelined per-pair dispatch (solve_pairs_pipelined); "
+            "the in-graph flat-batched driver (solve_pairs) and the r4 "
+            "lockstep vmap both lose to it -- the dense per-pair LM is "
+            "kernel-latency-bound, see solve_pairs_pipelined docstring"
+        ),
     }
 
 
@@ -740,10 +779,10 @@ def frontend_timing():
     imj = jax.device_put(jnp.asarray(im))
 
     def piped(fn, reps=30):
-        r = fn(); jax.block_until_ready(r)
+        r = fn(); sync(r)
         t0 = time.perf_counter()
         rs = [fn() for _ in range(reps)]
-        jax.block_until_ready(rs)
+        sync(rs[-1])
         return (time.perf_counter() - t0) / reps
 
     full = lambda: F.extract(imj, n_features=1000, n_scales=8, scale_factor=1.2).desc

