@@ -61,11 +61,12 @@ class BlockSystem(NamedTuple):
     g_g: jnp.ndarray  # [8]
 
 
-def _fold_one_set(J6):
-    """Fold p2-block derivatives onto the p1 block (one-set models: both
-    reprojection edges act on the same 3D point; the p2 tangent stays zero)."""
-    folded = J6[..., 0:3] + J6[..., 3:6]
-    return jnp.concatenate([folded, jnp.zeros_like(folded)], axis=-1)
+def _freeze_p1_mask(dtype):
+    """one_set freezes the FIRST point set (see deformable.ModelSpec): the
+    packed per-point 6-block is (p1_i, p2_i), so zeroing the first three
+    coordinates of every Jacobian block removes p1 from the system while
+    the residuals (and hence the cost) still see it."""
+    return jnp.array([0.0, 0.0, 0.0, 1.0, 1.0, 1.0], dtype=dtype)
 
 
 def build_block_system(
@@ -96,8 +97,8 @@ def build_block_system(
 
     def add_pblock(D, A, r, slot):
         """Accumulate a per-point residual family: A [N, rdim, 3] acting on
-        the p1 (slot 0) or p2 (slot 1) 3-block; one_set folds onto p1."""
-        s = 0 if (spec.one_set or slot == 0) else 3
+        the p1 (slot 0) or p2 (slot 1) 3-block."""
+        s = 0 if slot == 0 else 3
         blk = jnp.einsum("nra,nrb->nab", A, A)
         D = D.at[:, s : s + 3, s : s + 3].add(blk)
         return D, s
@@ -146,7 +147,7 @@ def build_block_system(
             Jps = jax.vmap(jax.jacfwd(depth_local))(x, d, w)  # [N, 4]
             r = jax.vmap(depth_local)(x, d, w)  # [N]
             ap, a_s = Jps[:, :3], Jps[:, 3]
-            s = 0 if (spec.one_set or slot == 0) else 3
+            s = 0 if slot == 0 else 3
             D = D.at[:, s : s + 3, s : s + 3].add(jnp.einsum("na,nb->nab", ap, ap))
             C = C.at[:, s : s + 3, slot].add(ap * a_s[:, None])
             Hg = Hg.at[slot, slot].add(jnp.sum(a_s * a_s))
@@ -255,10 +256,6 @@ def build_block_system(
     Ji = Jfull[..., 0:6]
     Jj = Jfull[..., 6:12]
     Jx = Jfull[..., 12:18]
-    if spec.one_set:
-        Ji = _fold_one_set(Ji)
-        Jj = _fold_one_set(Jj)
-
     D = D + 2.0 * jnp.einsum("nka,nkb->nab", Ji, Ji)
     Bt = 2.0 * jnp.einsum("nka,nkb->nkab", Ji, Jj)
     C = C.at[:, :, 2:8].add(2.0 * jnp.einsum("nka,nkg->nag", Ji, Jx))
@@ -274,6 +271,16 @@ def build_block_system(
         )):
             Hg = Hg.at[col, col].add(info)
             g_g = g_g.at[col].add(info * (sc - prior))
+
+    if spec.one_set:
+        # Frozen first set: zero p1's rows/cols of H and its gradient
+        # entries (damping keeps the diagonal nonsingular; CG/PCG then
+        # leaves the p1 subspace identically at zero).
+        m = _freeze_p1_mask(dtype)
+        D = D * m[None, :, None] * m[None, None, :]
+        Bt = Bt * m[None, None, :, None] * m[None, None, None, :]
+        C = C * m[None, :, None]
+        g_p = g_p * m[None, :]
 
     return BlockSystem(D=D, Bt=Bt, C=C, Hg=Hg, g_p=g_p, g_g=g_g)
 

@@ -70,8 +70,21 @@ class ModelSpec(NamedTuple):
       reference's squared variant is kept only as "scaled_squared");
       "fixed": (d - z * s)^2 with the scale frozen at its initial estimate;
       "none": depth used only for triangulation.
-    - one_set: a single 3D point per match (both reprojection edges act on
-      the same point; deformation energies vanish identically).
+    - one_set: the FIRST point set is frozen at its initialization and only
+      the second set (plus scales/global-T) is optimized. Evidence from the
+      committed ``ARAP_OneSet`` traces: C1's reprojection std is EXACTLY
+      constant across every optimization iteration (e.g.
+      ``Data/Experiments/ARAP_OneSet/InRays/20cm Depth/Planar/10 mm
+      rigid/1/Experiment.txt`` holds 1,00446 from INITIAL through FINAL)
+      while C2's evolves -- set 1 never moves. The variant's code is not in
+      the shipped C++; its constant C1 std equals the injected pixel-noise
+      sigma, i.e. the committed runs froze a noise-free-projection
+      (ground-truth-anchored) first set. This framework freezes set 1 at
+      its standard triangulated initialization instead (no ground-truth
+      leakage at solve time), so one-set initials match the common regime.
+      An earlier r4 reading ("both reprojection edges act on one shared
+      point") is refuted by the same traces: a shared set would change
+      C1's std and cannot reproduce a constant one.
     - use_global: include the global-SE3 alignment term inside the mesh-edge
       energy (off for ARAP_NoGlobal).
     """
@@ -199,10 +212,28 @@ def _rep_errors(cam_kind, data: PairData, p, R, t, kp):
 
 
 def _canon_state(spec: ModelSpec, state: PairState) -> PairState:
-    """Tie the second point set to the first for one-set models."""
-    if spec.one_set:
-        return state._replace(p2=state.p1)
+    """Identity hook (kept for call-site stability).
+
+    one_set no longer rewrites the state: its semantics are a FROZEN first
+    set (see ModelSpec), implemented by masking the p1 tangent out of the
+    retraction (``apply_delta_spec``) and zeroing p1's rows/columns of the
+    normal equations -- not by tying p2 to p1.
+    """
     return state
+
+
+def apply_delta_spec(spec: ModelSpec):
+    """Spec-aware retraction: one_set masks the p1 block of the tangent,
+    freezing the first set (its H rows/cols and gradient entries then
+    vanish identically, so every solver backend keeps delta_p1 = 0)."""
+    if not spec.one_set:
+        return apply_delta
+
+    def apply(state, delta):
+        n = state.p1.shape[0]
+        return apply_delta(state, delta.at[: 3 * n].set(0.0))
+
+    return apply
 
 
 def _depth_errors(data: PairData, p, s, R, t, d, mode: str = "scaled"):
@@ -442,9 +473,7 @@ def _edge_blocks(
 
     vm = data.valid.astype(dtype)
     idx_p1 = 3 * jnp.arange(n)[:, None] + jnp.arange(3)[None, :]
-    # One-set models: every "second set" derivative lands on the first set's
-    # coordinates (the p2 tangent block stays zero and p2 never moves).
-    idx_p2 = idx_p1 if spec.one_set else 3 * n + idx_p1
+    idx_p2 = 3 * n + idx_p1
     i_s1 = 6 * n
     i_s2 = 6 * n + 1
     idx_xi = 6 * n + 2 + jnp.arange(6)
@@ -560,6 +589,14 @@ def _edge_blocks(
         idx_s = jnp.array([[i_s1], [i_s2]], dtype=jnp.int32)
         blocks.append((L_s, r_s, idx_s))
 
+    if spec.one_set:
+        # Frozen first set: zero every local-Jacobian entry that lands on a
+        # p1 coordinate (residuals keep their values -- the cost still sees
+        # set 1 -- but the solver cannot move it).
+        blocks = [
+            (L * (idx[:, None, :] >= 3 * n).astype(L.dtype), r, idx)
+            for L, r, idx in blocks
+        ]
     return blocks
 
 
@@ -581,8 +618,10 @@ def build_system_jacfwd(
     dim = _tangent_dim(n)
     dtype = state.p1.dtype
 
+    apply = apply_delta_spec(spec)
+
     def f(delta):
-        return residual_vector(cam_kind, data, hyper, apply_delta(state, delta), spec)
+        return residual_vector(cam_kind, data, hyper, apply(state, delta), spec)
 
     zero = jnp.zeros((dim,), dtype=dtype)
     r = f(zero)
@@ -616,10 +655,9 @@ def build_system(
     the dense backend hands off to CG above DENSE_DIM_LIMIT anyway.
     """
     if spec.one_set:
-        # One-set models alias the p2 tangent onto p1, so a single edge row
-        # carries DUPLICATE column indices whose contributions must sum --
-        # scatter-set semantics would drop one. The full-width JVP handles
-        # the aliasing naturally.
+        # One-set models freeze the p1 tangent (apply_delta_spec masks it);
+        # the full-width JVP realizes the zero p1 columns naturally, and the
+        # one-set dense problem is small, so the oracle path serves it.
         return build_system_jacfwd(cam_kind, data, hyper, state, spec)
     n = state.p1.shape[0]
     dim = _tangent_dim(n)
@@ -735,12 +773,13 @@ def solve_pair(
     from . import block_system as bs_
 
     n = state0.p1.shape[0]
+    apply = apply_delta_spec(spec)
     if not use_dense_backend(n, int(data.nbr.shape[-1]), batch_hint):
         make_step = bs_.make_block_step(cam_kind, data, hyper, spec, CG_ITERS, CG_RTOL)
         res = lm_ops.lm_optimize_general(
             make_step,
             robust_cost=lambda s: robust_cost(cam_kind, data, hyper, s, spec),
-            apply_delta=apply_delta,
+            apply_delta=apply,
             state0=state0,
             n_iterations=n_iterations,
         )
@@ -748,12 +787,10 @@ def solve_pair(
         res = lm_ops.lm_optimize(
             build_system=lambda s: build_system(cam_kind, data, hyper, s, spec),
             robust_cost=lambda s: robust_cost(cam_kind, data, hyper, s, spec),
-            apply_delta=apply_delta,
+            apply_delta=apply,
             state0=state0,
             n_iterations=n_iterations,
         )
-    if spec.one_set:
-        res = res._replace(state=res.state._replace(p2=res.state.p1))
     return res
 
 
@@ -843,13 +880,11 @@ def solve_pairs(
     res = lm_ops.lm_optimize_flat_batched(
         make_step_b,
         lambda s: cost_b(data, hyper, s),
-        apply_delta,
+        apply_delta_spec(spec),
         state0,
         batch,
         n_iterations,
     )
-    if spec.one_set:
-        res = res._replace(state=res.state._replace(p2=res.state.p1))
     return res
 
 

@@ -157,6 +157,17 @@ class SimulationPipeline:
         p1, p2, valid, xn1, xn2 = self._triangulate(kp1, kp2, T1w, T2w, d1, d2)
         n_valid = int(valid.sum())
 
+        # ARAP_OneSet protocol (committed-trace parity): the variant's first
+        # point set is ANCHORED AT THE GROUND-TRUTH original positions and
+        # frozen -- its committed journals hold C1's reprojection std exactly
+        # constant at the injected pixel-noise sigma (noise-free projections)
+        # through every iteration (see deformable.ModelSpec). The simulation
+        # knows the ground truth, so it reproduces that protocol; the solver
+        # itself only ever freezes p1, it never reads GT.
+        spec = deformable.MODELS.get(cfg.opt_model, deformable.ModelSpec())
+        if spec.one_set:
+            p1 = jnp.asarray(orig, dtype=jnp.asarray(p1).dtype)
+
         s1, se1 = self._initial_depth_scale(p1, T1w, d1, valid)
         s2, se2 = self._initial_depth_scale(p2, T2w, d2, valid)
         # SE floor keeps the prior information f32-safe when depths are exact.
