@@ -97,3 +97,59 @@ def test_speculative_trials_match_sequential_policy():
     np.testing.assert_allclose(float(spec.cost), float(seq.cost), rtol=1e-4, atol=1e-6)
     assert int(spec.n_accepted) == int(seq.n_accepted)
     np.testing.assert_allclose(np.asarray(spec.state), np.asarray(seq.state), rtol=1e-3, atol=1e-5)
+
+
+def test_flat_batched_matches_per_pair_sequential_policy():
+    """lm_optimize_flat_batched must reproduce EACH pair's sequential
+    (lam, accept-count, optimum) schedule exactly: a rejection is one
+    global step where that pair's state holds while its damping grows --
+    the same trial ladder lm_optimize_general walks per pair. Uses
+    nonlinear per-pair problems with different conditioning so trial
+    counts genuinely differ across the batch."""
+    rng = np.random.default_rng(5)
+    batch, m, d = 4, 20, 6
+    As = jnp.asarray(rng.normal(size=(batch, m, d)) * (10.0 ** rng.uniform(-1, 1, size=(batch, 1, 1))))
+    bs = jnp.asarray(rng.normal(size=(batch, m)))
+
+    def resid(A, b, x):
+        return A @ x + 0.3 * jnp.sin(x).sum() - b
+
+    def cost_one(A, b, x):
+        r = resid(A, b, x)
+        return jnp.dot(r, r)
+
+    def build_one(A, b, x):
+        J = jax.jacfwd(lambda y: resid(A, b, y))(x)
+        r = resid(A, b, x)
+        return J.T @ J, J.T @ r
+
+    x0 = jnp.zeros((batch, d))
+
+    def make_step_b(xb):
+        Hg = [build_one(As[i], bs[i], xb[i]) for i in range(batch)]
+        H = jnp.stack([h for h, _ in Hg])
+        g = jnp.stack([gg for _, gg in Hg])
+        solve_b = jax.vmap(lm.solve_damped_cholesky)
+        return (lambda lam_b: solve_b(H, g, lam_b)), g, jnp.max(
+            jnp.diagonal(H, axis1=-2, axis2=-1), axis=-1)
+
+    res_b = lm.lm_optimize_flat_batched(
+        make_step_b,
+        lambda xb: jnp.stack([cost_one(As[i], bs[i], xb[i]) for i in range(batch)]),
+        lambda x, dd: x + dd,
+        x0, batch, n_iterations=10,
+    )
+
+    for i in range(batch):
+        def make_step(x, i=i):
+            H, g = build_one(As[i], bs[i], x)
+            return (lambda l: lm.solve_damped_cholesky(H, g, l)), g, jnp.max(jnp.diag(H))
+
+        seq = lm.lm_optimize_general(
+            make_step, lambda x, i=i: cost_one(As[i], bs[i], x),
+            lambda x, dd: x + dd, x0[i], n_iterations=10,
+        )
+        assert int(res_b.n_accepted[i]) == int(seq.n_accepted), i
+        np.testing.assert_allclose(float(res_b.cost[i]), float(seq.cost), rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(float(res_b.lam[i]), float(seq.lam), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(res_b.state[i]), np.asarray(seq.state), rtol=1e-4, atol=1e-7)
