@@ -133,6 +133,8 @@ def build_block_system(
                 pi, si = x[:3], x[3]
                 z = (R @ pi + t)[2]
                 if spec.depth == "fixed":
+                    e = di - z * jax.lax.stop_gradient(si)
+                elif spec.depth == "fixed_squared":
                     e = (di - z * jax.lax.stop_gradient(si)) ** 2
                 elif spec.depth == "scaled_squared":
                     e = (di / si - z) ** 2

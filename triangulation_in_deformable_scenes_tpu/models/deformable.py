@@ -68,7 +68,14 @@ class ModelSpec(NamedTuple):
     - depth "scaled": linear residual (d/s - z) with optimizable scale (the
       statistically consistent form -- see ``_depth_errors`` for why the
       reference's squared variant is kept only as "scaled_squared");
-      "fixed": (d - z * s)^2 with the scale frozen at its initial estimate;
+      "fixed": LINEAR residual (d - z * s) with the scale frozen at its
+      initial estimate -- the same consistent-likelihood deviation as
+      "scaled" applied to ``EdgeDepthWithoutScaleCorrection`` (the
+      reference squares the metric error, g2oTypes.h:440, making the chi2
+      quartic with a multi-millimeter dead zone; measured r5 on the
+      committed ARAP_not_scaled_depth cells, the quartic form let the
+      FarPoints gaussian finals explode 9 -> 25 mm where the linear form
+      reaches 2-4 mm). "fixed_squared": exact reference parity;
       "none": depth used only for triangulation.
     - one_set: the FIRST point set is frozen at its initialization and only
       the second set (plus scales/global-T) is optimized. Evidence from the
@@ -104,8 +111,9 @@ MODELS = {
     "ARAP_depth_1mm": ModelSpec(),
     "ARAP_depth_3mm": ModelSpec(),
     "ARAP_depth_8mm": ModelSpec(),
-    # Exact-parity variant of the reference's quartic depth edge.
+    # Exact-parity variants of the reference's quartic depth edges.
     "ARAP_squared_depth": ModelSpec(depth="scaled_squared"),
+    "ARAP_not_scaled_depth_squared": ModelSpec(depth="fixed_squared"),
     "Elastic": ModelSpec(energy="Elastic"),
     "HyperElasticOdgen": ModelSpec(energy="Ogden"),
 }
@@ -258,6 +266,9 @@ def _depth_errors(data: PairData, p, s, R, t, d, mode: str = "scaled"):
         return jnp.zeros_like(d)
     z = lie.apply(R, t, p)[..., 2]
     if mode == "fixed":
+        s0 = jax.lax.stop_gradient(s)
+        return d - z * s0
+    if mode == "fixed_squared":
         s0 = jax.lax.stop_gradient(s)
         return (d - z * s0) ** 2
     if mode == "scaled_squared":
@@ -510,6 +521,8 @@ def _edge_blocks(
                 pi, si = x[:3], x[3]
                 z = (R @ pi + t)[2]
                 if spec.depth == "fixed":
+                    e = di - z * jax.lax.stop_gradient(si)
+                elif spec.depth == "fixed_squared":
                     e = (di - z * jax.lax.stop_gradient(si)) ** 2
                 elif spec.depth == "scaled_squared":
                     e = (di / si - z) ** 2
