@@ -18,8 +18,14 @@ Rebuilds the reference's extractor stack (``Modules/Features/FAST.cc``,
   (``FAST::IC_Angle``, FAST.cc:443-467);
 - 256-pair rotated BRIEF descriptor (``ORB::computeORBDescriptor``) using the
   standard OpenCV ``bit_pattern_31_`` table (shipped as ``orb_pattern.npy``;
-  numeric data, required for descriptor compatibility). Descriptors are kept
-  as [N, 256] 0/1 int8 so Hamming distance becomes one MXU matmul
+  numeric data, required for descriptor compatibility). The descriptor path
+  is PATCH-LOCAL (r5): one [43, 43] patch gather per keypoint feeds the
+  orientation (center crop) and a valid-mode 7x7 sigma-2 blur (bit-exact
+  with blurring the whole level, since every tap is interior), and the
+  rotated taps select from the blurred patch via one-hot MXU matmuls --
+  replacing 8 full-image blurs and a scattered [N, 256] global gather
+  (XLA per-element gathers measured ~0.4 GB/s on this chip). Descriptors
+  are kept as [N, 256] 0/1 int8 so Hamming distance becomes one MXU matmul
   (see ``ops/matching.py``).
 
 All functions are jit-compatible with static shapes; keypoints are padded to
