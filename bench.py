@@ -518,6 +518,20 @@ def roofline(cfg, lm_iters_per_sec):
         t_iter = 1.0 / max(lm_iters_per_sec, 1e-9)
         out["dense_lm_achieved_tflops"] = round(flops_iter / t_iter / 1e12, 2)
         out["dense_lm_pct_peak"] = round(100 * flops_iter / t_iter / 1e12 / f32_gemm_tflops, 1)
+        out["dense_lm_note"] = (
+            "low pct_peak is structural, not waste (r5 analysis): one LM "
+            "iteration is a SERIAL chain of ~15-20 kernels (per-family "
+            "local-Jacobian assembly, scatter-set J, JtJ matmul, "
+            "equilibration, Cholesky panel chain, two triangular solves, "
+            "refinement, robust-cost eval), and at dim ~1.5k each link is "
+            "microseconds of MXU work behind a fixed per-kernel launch "
+            "latency on this part -- the chain's latency, not its FLOPs, "
+            "sets the rate. The same structure is why batching pairs does "
+            "not help (serving_note) and why the only real lever found was "
+            "removing whole links (e.g. the 4.2 ms batched LU inverse in "
+            "the PCG path's preconditioner, replaced by closed-form "
+            "Cholesky in r5)"
+        )
 
     # --- block-sparse CG matvec at the committed large-N scale ---
     cb, _, datab, stateb, hyperb = _fixture_problem(cfg, n_pairs=2600)
