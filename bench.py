@@ -935,10 +935,15 @@ else:
         data, state = dist.shard_pair(mesh, data, state)
     run = lambda: dist.solve_pair_distributed("KB8", data, hyper, state, 5, cg_iters=32).cost.block_until_ready()
 run()
-t0 = time.perf_counter()
-for _ in range(3):
-    run()
-print(json.dumps({"t": (time.perf_counter() - t0) / 3, **extra}))
+# min-of-2 over 3-rep windows: the single 3-rep window left ~+-0.1 run-to-run
+# noise on the n2048 overhead ratio (r5).
+ts = []
+for _ in range(2):
+    t0 = time.perf_counter()
+    for _ in range(3):
+        run()
+    ts.append((time.perf_counter() - t0) / 3)
+print(json.dumps({"t": min(ts), **extra}))
 """
 
 
