@@ -122,33 +122,43 @@ def build_block_system(
         g_p = g_p.at[:, s : s + 3].add(jnp.einsum("nra,nr->na", A, r))
 
     # --- depth edges (couple the point 3-block with its scale dim) ---
+    # CLOSED-FORM residual/Jacobian (r5): the 4-wide vmapped jacfwd over
+    # (p, s) cost ~2 ms of the ~5.4 ms bigN LM iteration for what is a
+    # one-line derivative -- every depth mode's e depends on p only through
+    # z = (R p + t)[2], so de/dp = (de/dz) * R[2, :] and de/ds is scalar.
     if spec.depth != "none":
         inv_sigma_d = 1.0 / hyper.depth_sigma
         for slot, (p, sc, R, t, d) in enumerate((
             (state.p1, state.s1, data.R1w, data.t1w, data.depth1),
             (state.p2, state.s2, data.R2w, data.t2w, data.depth2),
         )):
-
-            def depth_local(x, di, wi, R=R, t=t):
-                pi, si = x[:3], x[3]
-                z = (R @ pi + t)[2]
-                if spec.depth == "fixed":
-                    e = di - z * jax.lax.stop_gradient(si)
-                elif spec.depth == "fixed_squared":
-                    e = (di - z * jax.lax.stop_gradient(si)) ** 2
-                elif spec.depth == "scaled_squared":
-                    e = (di / si - z) ** 2
-                    e = jnp.where(si <= 0.0, 500.0 * e, e)
-                else:
-                    e = di / si - z
-                    e = jnp.where(si <= 0.0, jnp.sqrt(500.0) * e, e)
-                return wi * e
-
-            x = jnp.concatenate([p, jnp.full((n, 1), sc, dtype=dtype)], axis=-1)
-            w = vm * inv_sigma_d
-            Jps = jax.vmap(jax.jacfwd(depth_local))(x, d, w)  # [N, 4]
-            r = jax.vmap(depth_local)(x, d, w)  # [N]
-            ap, a_s = Jps[:, :3], Jps[:, 3]
+            w = vm * inv_sigma_d  # [N]
+            z = (p @ R.T + t)[:, 2]  # [N]
+            if spec.depth == "fixed":
+                s0 = jax.lax.stop_gradient(sc)
+                e = d - z * s0
+                de_dz = jnp.full_like(e, -s0)
+                de_ds = jnp.zeros_like(e)
+            elif spec.depth == "fixed_squared":
+                s0 = jax.lax.stop_gradient(sc)
+                u = d - z * s0
+                e = u * u
+                de_dz = -2.0 * u * s0
+                de_ds = jnp.zeros_like(e)
+            elif spec.depth == "scaled_squared":
+                u = d / sc - z
+                pen = jnp.where(sc <= 0.0, 500.0, 1.0)
+                e = pen * u * u
+                de_dz = pen * (-2.0 * u)
+                de_ds = pen * (-2.0 * u * d / (sc * sc))
+            else:  # "scaled": linear residual
+                pen = jnp.where(sc <= 0.0, jnp.sqrt(500.0), 1.0)
+                e = pen * (d / sc - z)
+                de_dz = jnp.full_like(e, -pen)
+                de_ds = pen * (-d / (sc * sc))
+            r = w * e  # [N]
+            ap = (w * de_dz)[:, None] * R[2, :][None, :]  # [N, 3]
+            a_s = w * de_ds  # [N]
             s = 0 if slot == 0 else 3
             D = D.at[:, s : s + 3, s : s + 3].add(jnp.einsum("na,nb->nab", ap, ap))
             C = C.at[:, s : s + 3, slot].add(ap * a_s[:, None])
