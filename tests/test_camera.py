@@ -106,3 +106,21 @@ def test_undistort_points_matches_opencv():
         )
     )
     np.testing.assert_allclose(got, expected, atol=5e-3)  # px, f32 + 5 iters
+
+
+def test_project_jac_matches_jacfwd():
+    """Analytic projection Jacobians == jax.jacfwd of the projections, for
+    both camera models, over a wide spread of camera-frame points."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from triangulation_in_deformable_scenes_tpu.ops import camera
+
+    rng = np.random.default_rng(0)
+    params = jnp.asarray([458.654, 457.296, 367.215, 248.375, -0.28, 0.07, 0.0002, 1.8e-5])
+    p = rng.normal(size=(200, 3)) * [0.3, 0.25, 0.1] + [0, 0, 0.5]
+    p = jnp.asarray(p)
+    for kind in ("KB8", "PinHole"):
+        want = jax.vmap(jax.jacfwd(lambda q: camera.project(kind, params, q)))(p)
+        got = camera.project_jac(kind, params, p)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-4)

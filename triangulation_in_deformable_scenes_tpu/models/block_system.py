@@ -104,20 +104,22 @@ def build_block_system(
         return D, s
 
     # --- reprojection edges (Huber IRLS weights frozen at state) ---
+    # Closed-form Jacobian (r5): de/dp = -(dproj/dpc) R via the analytic
+    # camera Jacobian -- like the depth family below, the vmapped jacfwd
+    # here blocked fusion across the assembly graph.
     for slot, (p, R, t, kp, inv_s2) in enumerate((
         (state.p1, data.R1w, data.t1w, data.kp1, data.inv_sigma2_1),
         (state.p2, data.R2w, data.t2w, data.kp2, data.inv_sigma2_2),
     )):
-        e = kp - cam_ops.project(cam_kind, data.cam_params, lie.apply(R, t, p))
+        pc = lie.apply(R, t, p)
+        e = kp - cam_ops.project(cam_kind, data.cam_params, pc)
         chi2 = jnp.sum(e * e, axis=-1) * inv_s2 * hyper.rep_w
         _, drho = D_._huber_rho(chi2)
         w = jnp.sqrt(drho * inv_s2 * hyper.rep_w) * vm
 
-        def rep_local(pi, obs, wi, R=R, t=t):
-            return wi * (obs - cam_ops.project(cam_kind, data.cam_params, R @ pi + t))
-
-        A = jax.vmap(jax.jacfwd(rep_local))(p, kp, w)  # [N, 2, 3]
-        r = jax.vmap(rep_local)(p, kp, w)  # [N, 2]
+        Jpi = cam_ops.project_jac(cam_kind, data.cam_params, pc)  # [N, 2, 3]
+        A = -w[:, None, None] * jnp.einsum("nab,bc->nac", Jpi, R)  # [N, 2, 3]
+        r = w[:, None] * e  # [N, 2]
         D, s = add_pblock(D, A, r, slot)
         g_p = g_p.at[:, s : s + 3].add(jnp.einsum("nra,nr->na", A, r))
 

@@ -495,47 +495,63 @@ def _edge_blocks(
         _, drho = _huber_rho(chi2)
         return jnp.sqrt(drho * inv_sigma2 * hyper.rep_w) * vm
 
+    # Closed-form Jacobian de/dp = -(dproj/dpc) R (analytic camera Jacobian,
+    # ops/camera.project_jac; parity-tested vs jacfwd) -- the per-edge
+    # vmapped jacfwd blocked XLA fusion across the assembly (see
+    # block_system.build_block_system, r5).
     for (p, R, t, kp, inv_s2, idx_p) in (
         (state.p1, data.R1w, data.t1w, data.kp1, data.inv_sigma2_1, idx_p1),
         (state.p2, data.R2w, data.t2w, data.kp2, data.inv_sigma2_2, idx_p2),
     ):
-        e = kp - cam_ops.project(cam_kind, data.cam_params, lie.apply(R, t, p))
+        pc = lie.apply(R, t, p)
+        e = kp - cam_ops.project(cam_kind, data.cam_params, pc)
         w = rep_weights(e, inv_s2)  # [N]
-
-        def rep_local(pi, obs, wi):
-            return wi * (obs - cam_ops.project(cam_kind, data.cam_params, R @ pi + t))
-
-        L = jax.vmap(jax.jacfwd(rep_local), in_axes=(0, 0, 0))(p, kp, w)  # [N,2,3]
-        r = jax.vmap(rep_local)(p, kp, w)
+        Jpi = cam_ops.project_jac(cam_kind, data.cam_params, pc)  # [N, 2, 3]
+        L = -w[:, None, None] * jnp.einsum("nab,bc->nac", Jpi, R)
+        r = w[:, None] * e
         blocks.append((L, r, idx_p))
 
     # --- depth edges ---
     if spec.depth != "none":
         inv_sigma_d = 1.0 / hyper.depth_sigma
+        # Closed-form residual/Jacobian (see block_system.build_block_system:
+        # every depth mode's e depends on p only through z = (R p + t)[2]).
         for (p, s, R, t, d, idx_p, i_s) in (
             (state.p1, state.s1, data.R1w, data.t1w, data.depth1, idx_p1, i_s1),
             (state.p2, state.s2, data.R2w, data.t2w, data.depth2, idx_p2, i_s2),
         ):
-
-            def depth_local(x, di, wi):
-                pi, si = x[:3], x[3]
-                z = (R @ pi + t)[2]
-                if spec.depth == "fixed":
-                    e = di - z * jax.lax.stop_gradient(si)
-                elif spec.depth == "fixed_squared":
-                    e = (di - z * jax.lax.stop_gradient(si)) ** 2
-                elif spec.depth == "scaled_squared":
-                    e = (di / si - z) ** 2
-                    e = jnp.where(si <= 0.0, 500.0 * e, e)
-                else:
-                    e = di / si - z
-                    e = jnp.where(si <= 0.0, jnp.sqrt(500.0) * e, e)
-                return (wi * e)[None]
-
-            x = jnp.concatenate([p, jnp.full((n, 1), s, dtype=dtype)], axis=-1)
             w = vm * inv_sigma_d
-            L = jax.vmap(jax.jacfwd(depth_local), in_axes=(0, 0, 0))(x, d, w)  # [N,1,4]
-            r = jax.vmap(depth_local)(x, d, w)
+            z = (p @ R.T + t)[:, 2]
+            if spec.depth == "fixed":
+                s0 = jax.lax.stop_gradient(s)
+                e = d - z * s0
+                de_dz = jnp.full_like(e, -s0)
+                de_ds = jnp.zeros_like(e)
+            elif spec.depth == "fixed_squared":
+                s0 = jax.lax.stop_gradient(s)
+                u_ = d - z * s0
+                e = u_ * u_
+                de_dz = -2.0 * u_ * s0
+                de_ds = jnp.zeros_like(e)
+            elif spec.depth == "scaled_squared":
+                u_ = d / s - z
+                pen = jnp.where(s <= 0.0, 500.0, 1.0)
+                e = pen * u_ * u_
+                de_dz = pen * (-2.0 * u_)
+                de_ds = pen * (-2.0 * u_ * d / (s * s))
+            else:
+                pen = jnp.where(s <= 0.0, jnp.sqrt(500.0), 1.0)
+                e = pen * (d / s - z)
+                de_dz = jnp.full_like(e, -pen)
+                de_ds = pen * (-d / (s * s))
+            L = jnp.concatenate(
+                [
+                    (w * de_dz)[:, None] * R[2, :][None, :],
+                    (w * de_ds)[:, None],
+                ],
+                axis=-1,
+            )[:, None, :]  # [N, 1, 4]
+            r = (w * e)[:, None]  # [N, 1]
             idx = jnp.concatenate([idx_p, jnp.full((n, 1), i_s, dtype=idx_p.dtype)], axis=-1)
             blocks.append((L, r, idx))
 
