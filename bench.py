@@ -1007,7 +1007,7 @@ def virtual_scaling_check(n=16384, small_n=2048):
             "halo PCG's collective count (ONE fused boundary+shared-block "
             "psum per matvec, carried residual norm kills the stop-test "
             "psum, perimeter-sparse off-edge tail decouples the heavy Bt "
-            "stream) -- overhead fell 1.68 -> ~1.2 at N=2048 and 1.16 -> "
+            "stream) -- overhead fell 1.68 -> ~1.2-1.4 at N=2048 (small-problem runs are noisy on the shared-host virtual mesh) and 1.16 -> "
             "<1.0 at N=16384; the halo path beats the partitioner's "
             "all-gather lowering ~2x (virtual8_naive_overhead)."
         )
